@@ -1,0 +1,175 @@
+"""High-level engine API: the reference `Raytracer` class surface.
+
+Provides RaytracerResults plus getRawDiffuse / getRawImages / getAllRaw with
+the same semantics as reference rayverb/rayverb.cpp:687-714, including the
+cross-ray image-source deduplication keyed on surface-index chains
+(rayverb.cpp:653-676).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+
+import numpy as np
+
+from .constants import NUM_IMAGE_SOURCE
+from .ops.intersect import TriangleSoup, soup_from_scene
+from .ops.trace import DEFAULT_RAY_CHUNK, TraceOutputs, trace
+from .scene.compile import Scene, load_scene
+
+
+@dataclass
+class RaytracerResults:
+    """Impulses plus the mic position they were traced against
+    (rayverb.h:123-133)."""
+
+    volume: np.ndarray    # (M, 8)
+    position: np.ndarray  # (M, 3)
+    time: np.ndarray      # (M,)
+    mic: np.ndarray       # (3,)
+
+    @property
+    def num_impulses(self) -> int:
+        return int(self.time.shape[0])
+
+
+def dedup_images(outputs: TraceOutputs, remove_direct: bool):
+    """Cross-ray image-source dedup (rayverb.cpp:653-676).
+
+    The reference inserts, per ray, every prefix of the 10-slot
+    surface-index chain into an ordered map (first writer wins; identical
+    chains produce identical impulses, so insert order is immaterial), with
+    a prefix admitted when it is the length-1 direct-path key or its last
+    element is a real surface (non-zero). `removeDirect` then erases the
+    {0} key (rayverb.cpp:692-697).
+
+    Returns (volume (K, 8), position (K, 3), time (K,)) in key-sorted order,
+    matching std::map iteration order.
+    """
+    idx = np.asarray(outputs.image_index)          # (N, S) int32
+    vol = np.asarray(outputs.image_volume)
+    pos = np.asarray(outputs.image_position)
+    tim = np.asarray(outputs.image_time)
+    n, s = idx.shape
+
+    # prefix matrix: row (ray, k) = chain[:k] padded with -1
+    prefixes = np.full((n, s, s), -1, dtype=np.int64)
+    for k in range(1, s + 1):
+        prefixes[:, k - 1, :k] = idx[:, :k]
+    keep = np.ones((n, s), dtype=bool)
+    for k in range(2, s + 1):
+        keep[:, k - 1] = idx[:, k - 1] != 0
+    if remove_direct:
+        keep[:, 0] = False
+
+    flat_keys = prefixes[keep]                     # (M, S)
+    if flat_keys.shape[0] == 0:
+        return (
+            np.zeros((0, vol.shape[-1]), np.float32),
+            np.zeros((0, 3), np.float32),
+            np.zeros((0,), np.float32),
+        )
+    ray_ids, slot_ids = np.nonzero(keep)
+    # np.unique(axis=0) sorts rows lexicographically == std::map key order
+    _, first = np.unique(flat_keys, axis=0, return_index=True)
+    sel_r = ray_ids[first]
+    sel_s = slot_ids[first]
+    return (
+        vol[sel_r, sel_s].astype(np.float32),
+        pos[sel_r, sel_s].astype(np.float32),
+        tim[sel_r, sel_s].astype(np.float32),
+    )
+
+
+class Raytracer:
+    """Host orchestration mirroring the reference Raytracer
+    (rayverb.h:136-220), minus the manual buffer management XLA makes
+    unnecessary."""
+
+    def __init__(
+        self,
+        nreflections: int,
+        scene: Scene | str,
+        material_path: str | None = None,
+        *,
+        verbose: bool = False,
+        ray_chunk: int = DEFAULT_RAY_CHUNK,
+        impl: str = "auto",
+    ):
+        if isinstance(scene, str):
+            if material_path is None:
+                raise ValueError("material_path required when loading from file")
+            scene = load_scene(scene, material_path, verbose=verbose)
+        self.nreflections = int(nreflections)
+        self.scene = scene
+        self.soup: TriangleSoup = soup_from_scene(scene)
+        self.verbose = verbose
+        self.ray_chunk = ray_chunk
+        self.impl = impl
+        self._outputs: TraceOutputs | None = None
+        self._mic: np.ndarray | None = None
+
+    # -- reference API ----------------------------------------------------
+    def raytrace(self, micpos, source, directions, verbose: bool | None = None):
+        """Run the trace (rayverb.cpp:538-685), storing raw results."""
+        verbose = self.verbose if verbose is None else verbose
+        micpos = np.asarray(micpos, dtype=np.float32)
+        source = np.asarray(source, dtype=np.float32)
+        if verbose:
+            self._bounds_warnings(micpos, source)
+        self._outputs = trace(
+            self.soup,
+            micpos,
+            source,
+            directions,
+            self.nreflections,
+            ray_chunk=self.ray_chunk,
+            impl=self.impl,
+        )
+        self._mic = micpos
+        return self._outputs
+
+    def _bounds_warnings(self, micpos, source):
+        """Mic/source outside-model warnings (rayverb.cpp:547-583)."""
+        lo, hi = self.scene.bounds
+        for name, p in (("microphone", micpos), ("source", source)):
+            if not bool(np.all((lo <= p) & (p <= hi))):
+                print(
+                    f"WARNING: {name} position may be outside model: "
+                    f"{p.tolist()} not in [{lo.tolist()}, {hi.tolist()}]",
+                    file=sys.stderr,
+                )
+
+    @property
+    def outputs(self) -> TraceOutputs:
+        if self._outputs is None:
+            raise RuntimeError("raytrace() has not been run")
+        return self._outputs
+
+    def get_raw_diffuse(self) -> RaytracerResults:
+        """(rayverb.cpp:687-690) — all N*R diffuse impulses, zeros included."""
+        o = self.outputs
+        n, r = o.diffuse_time.shape
+        return RaytracerResults(
+            volume=np.asarray(o.diffuse_volume).reshape(n * r, -1),
+            position=np.asarray(o.diffuse_position).reshape(n * r, 3),
+            time=np.asarray(o.diffuse_time).reshape(n * r),
+            mic=self._mic,
+        )
+
+    def get_raw_images(self, remove_direct: bool) -> RaytracerResults:
+        """(rayverb.cpp:692-706) — deduplicated image-source impulses."""
+        vol, pos, tim = dedup_images(self.outputs, remove_direct)
+        return RaytracerResults(volume=vol, position=pos, time=tim, mic=self._mic)
+
+    def get_all_raw(self, remove_direct: bool) -> RaytracerResults:
+        """(rayverb.cpp:708-714) — diffuse followed by images."""
+        d = self.get_raw_diffuse()
+        i = self.get_raw_images(remove_direct)
+        return RaytracerResults(
+            volume=np.concatenate([d.volume, i.volume], axis=0),
+            position=np.concatenate([d.position, i.position], axis=0),
+            time=np.concatenate([d.time, i.time], axis=0),
+            mic=self._mic,
+        )

@@ -1,0 +1,417 @@
+"""The acoustic trace: specular bounce loop + image-source early reflections.
+
+TPU-native restructuring of the reference's `raytrace` OpenCL kernel
+(reference rayverb/kernel.cpp:304-503) and its host driver
+(rayverb/rayverb.cpp:538-714):
+
+  - one work-item per ray  ->  batched arrays over N rays
+  - iterative bounce loop  ->  statically-unrolled image-source phase
+    (bounces 0..NUM_IMAGE_SOURCE-2) followed by a lax.scan diffuse phase
+  - every geometric query (bounce hit, mic shadow ray, image-source
+    path-validation segments, image mic visibility) is packed into batched
+    closest-hit sweeps so a single tiled kernel carries all the FLOPs
+  - the reference's early-exit validation loop (kernel.cpp:401-429) is
+    order-independent in its result, so all segments are validated in one
+    parallel sweep (the final AND is identical)
+  - `break` on miss (kernel.cpp:372-375) becomes an `alive` mask; dead rays
+    leave zeros in the output, exactly like the zero-initialised buffers the
+    reference never writes (rayverb.cpp:600-616)
+
+Faithfully kept quirks (documented in SURVEY.md §7):
+  - per-bounce volume sign flip: newVol = -volume * specular
+    (kernel.cpp:461)
+  - image-source impulses use the *pre-bounce* volume, i.e. the chain's last
+    surface is not applied (kernel.cpp:444-455 runs before volume update)
+  - the diffuse Lambert term uses |dot(n, incident_dir)| (kernel.cpp:478)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from functools import partial
+
+from ..constants import (
+    AIR_COEFFICIENT,
+    EPSILON,
+    NUM_BANDS,
+    NUM_IMAGE_SOURCE,
+    SECONDS_PER_METER,
+)
+from .intersect import (
+    Hit,
+    TriangleSoup,
+    closest_hit,
+    intersect_triangle,
+    soup_from_scene,
+)
+
+DEFAULT_RAY_CHUNK = 4096  # mirrors the reference's RAY_GROUP_SIZE (rayverb.h:199)
+
+
+class TraceOutputs(NamedTuple):
+    """Dense per-ray trace results (struct-of-arrays Impulse records,
+    clstructs.h:37-44)."""
+
+    diffuse_volume: jax.Array    # (N, R, 8)
+    diffuse_position: jax.Array  # (N, R, 3)
+    diffuse_time: jax.Array      # (N, R)
+    image_volume: jax.Array      # (N, NUM_IMAGE_SOURCE, 8)
+    image_position: jax.Array    # (N, NUM_IMAGE_SOURCE, 3)
+    image_time: jax.Array        # (N, NUM_IMAGE_SOURCE)
+    image_index: jax.Array       # (N, NUM_IMAGE_SOURCE) int32, triangle+1
+
+
+def _air_attenuation(distance):
+    """Per-band exponential air absorption (kernel.cpp:194-198)."""
+    return jnp.exp(distance[..., None] * jnp.asarray(AIR_COEFFICIENT))
+
+
+def _safe_normalize(v):
+    mag = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / jnp.where(mag > 0, mag, 1.0)
+
+
+def _tri_normal(tri):
+    """Unit normal of (..., 3, 3) triangle verts (kernel.cpp:109-116)."""
+    e0 = tri[..., 1, :] - tri[..., 0, :]
+    e1 = tri[..., 2, :] - tri[..., 0, :]
+    return _safe_normalize(jnp.cross(e0, e1))
+
+
+def _mirror_point(p, tri):
+    """Reflect points (..., 3) through the plane of (..., 3, 3)
+    (mirror_point, kernel.cpp:216-221)."""
+    n = _tri_normal(tri)
+    return p - n * (2.0 * jnp.sum(n * (p - tri[..., 0, :]), axis=-1, keepdims=True))
+
+
+def _mirror_tri(tri, plane):
+    """Reflect all three vertices of `tri` through `plane`
+    (mirror_verts, kernel.cpp:223-229)."""
+    return _mirror_point(tri, plane[..., None, :, :])
+
+
+def _visible_from_hit(hit: Hit, mag):
+    """point_intersection acceptance (kernel.cpp:295): no blocker strictly
+    before the target."""
+    return (~hit.hit) | (hit.t > mag)
+
+
+def _direct_image(soup, mic, source, impl):
+    """Slot-0 direct-path image impulse (kernel.cpp:335-357)."""
+    diff = source - mic
+    dist = jnp.linalg.norm(diff)
+    hit = closest_hit(
+        source[None, :], _safe_normalize(mic - source)[None, :], soup, impl=impl
+    )
+    vis = _visible_from_hit(hit, dist)[0]
+    vol = jnp.where(vis, _air_attenuation(dist), 0.0)
+    pos = jnp.where(vis, mic + diff, 0.0)
+    time = jnp.where(vis, SECONDS_PER_METER * dist, 0.0)
+    return vol, pos, time
+
+
+class _RayState(NamedTuple):
+    pos: jax.Array       # (N, 3)
+    dir: jax.Array       # (N, 3)
+    distance: jax.Array  # (N,)
+    volume: jax.Array    # (N, 8)
+    alive: jax.Array     # (N,) bool
+
+
+def _diffuse_impulse(soup, mic, state, hit, vis, t_safe):
+    """Per-bounce diffuse Impulse fields (kernel.cpp:459-490).
+
+    Returns (new state pieces, output row). `vis` is the mic shadow-ray
+    verdict for the intersection point.
+    """
+    alive_new = state.alive & hit.hit
+    intersection = state.pos + state.dir * t_safe[:, None]
+    new_dist = state.distance + t_safe
+    surf = soup.surface[hit.index]
+    new_vol = -state.volume * soup.specular[surf]
+    n = soup.normal[hit.index]
+    to_mic_dist = jnp.linalg.norm(mic - intersection, axis=-1)
+    DIST = jnp.where(vis, new_dist + to_mic_dist, 0.0)
+    DIFF = jnp.abs(jnp.sum(n * state.dir, axis=-1))
+    volume_out = (
+        new_vol
+        * _air_attenuation(DIST)
+        * soup.diffuse[surf]
+        * DIFF[:, None]
+    )
+    emit = (alive_new & vis)[:, None]
+    volume_out = jnp.where(emit, volume_out, 0.0)
+    position_out = jnp.where(alive_new[:, None], intersection, 0.0)
+    time_out = jnp.where(alive_new & vis, SECONDS_PER_METER * DIST, 0.0)
+
+    # reflect (kernel.cpp:129-139, 492-501)
+    new_dir = state.dir - n * (2.0 * jnp.sum(state.dir * n, axis=-1, keepdims=True))
+    next_state = _RayState(
+        pos=jnp.where(alive_new[:, None], intersection, state.pos),
+        dir=jnp.where(alive_new[:, None], new_dir, state.dir),
+        distance=jnp.where(alive_new, new_dist, state.distance),
+        volume=jnp.where(alive_new[:, None], new_vol, state.volume),
+        alive=alive_new,
+    )
+    return next_state, alive_new, intersection, (volume_out, position_out, time_out)
+
+
+@partial(jax.jit, static_argnames=("nreflections", "impl"))
+def trace_chunk(
+    soup: TriangleSoup,
+    mic,
+    source,
+    directions,
+    *,
+    nreflections: int,
+    impl: str = "auto",
+) -> TraceOutputs:
+    """Trace one chunk of rays end to end (jitted; N and R static)."""
+    mic = jnp.asarray(mic, jnp.float32)
+    source = jnp.asarray(source, jnp.float32)
+    directions = jnp.asarray(directions, jnp.float32)
+    n = directions.shape[0]
+
+    state = _RayState(
+        pos=jnp.broadcast_to(source, (n, 3)),
+        dir=directions,
+        distance=jnp.zeros((n,), jnp.float32),
+        volume=jnp.ones((n, NUM_BANDS), jnp.float32),
+        alive=jnp.ones((n,), bool),
+    )
+
+    # ---- direct path (image slot 0), identical for every ray ----
+    d_vol, d_pos, d_time = _direct_image(soup, mic, source, impl)
+    image_vol = [jnp.broadcast_to(d_vol, (n, NUM_BANDS))]
+    image_pos = [jnp.broadcast_to(d_pos, (n, 3))]
+    image_time = [jnp.broadcast_to(d_time, (n,))]
+    image_idx = [jnp.zeros((n,), jnp.int32)]
+
+    mic_reflection = jnp.broadcast_to(mic, (n, 3))
+    prev_tris: list = []  # mirrored triangle chain, grows per unrolled bounce
+
+    diffuse_rows = []
+
+    # ---- phase A: bounces that participate in the image-source search ----
+    n_image_bounces = min(nreflections, NUM_IMAGE_SOURCE - 1)
+    for index in range(n_image_bounces):
+        bounce = closest_hit(state.pos, state.dir, soup, impl=impl)
+        t_safe = jnp.where(bounce.hit, bounce.t, 0.0)
+        alive_new = state.alive & bounce.hit
+        intersection = state.pos + state.dir * t_safe[:, None]
+
+        # mirror the hit triangle through the accumulated chain
+        # (kernel.cpp:379-394)
+        cur = soup.verts(bounce.index)
+        for plane in prev_tris:
+            cur = _mirror_tri(cur, plane)
+        prev_tris = prev_tris + [cur]
+        mic_reflection_new = _mirror_point(mic_reflection, cur)
+
+        # image-source path validation (kernel.cpp:396-429):
+        # all segments are checked in one batch; the AND is identical to the
+        # reference's early-exit loop.
+        DIR = _safe_normalize(mic_reflection_new - source)
+        chain = jnp.stack(prev_tris, axis=1)            # (N, k+1, 3, 3)
+        t_k = intersect_triangle(source[None, None, :], DIR[:, None, :], chain)
+        seg_front = t_k > EPSILON                        # (N, k+1)
+        ip = source + DIR[:, None, :] * t_k[..., None]   # mirrored-space hits
+        # un-mirror each segment point back to world space through planes
+        # l = k-1 .. 0 (kernel.cpp:412-414)
+        ip_world_cols = []
+        for k in range(index + 1):
+            p = ip[:, k]
+            for l in range(k - 1, -1, -1):
+                p = _mirror_point(p, prev_tris[l])
+            ip_world_cols.append(p)
+        ip_world = jnp.stack(ip_world_cols, axis=1)      # (N, k+1, 3)
+        prev_pts = jnp.concatenate(
+            [jnp.broadcast_to(source, (n, 1, 3)), ip_world[:, :-1]], axis=1
+        )
+        seg_vec = ip_world - prev_pts
+        seg_dir = _safe_normalize(seg_vec)
+
+        # ---- one combined sweep: mic shadow ray + validation segments +
+        # image mic-visibility ----
+        k1 = index + 1
+        final_ip = ip_world[:, index]
+        origins = jnp.concatenate(
+            [
+                intersection,                     # diffuse shadow rays
+                prev_pts.reshape(n * k1, 3),      # validation segments
+                final_ip,                         # image mic visibility
+            ],
+            axis=0,
+        )
+        to_mic_diffuse = mic - intersection
+        to_mic_image = mic - final_ip
+        dirs = jnp.concatenate(
+            [
+                _safe_normalize(to_mic_diffuse),
+                seg_dir.reshape(n * k1, 3),
+                _safe_normalize(to_mic_image),
+            ],
+            axis=0,
+        )
+        sweep = closest_hit(origins, dirs, soup, impl=impl)
+        h_shadow = Hit(sweep.t[:n], sweep.index[:n], sweep.hit[:n])
+        h_seg = Hit(
+            sweep.t[n : n + n * k1].reshape(n, k1),
+            sweep.index[n : n + n * k1].reshape(n, k1),
+            sweep.hit[n : n + n * k1].reshape(n, k1),
+        )
+        h_imgvis = Hit(
+            sweep.t[n + n * k1 :], sweep.index[n + n * k1 :], sweep.hit[n + n * k1 :]
+        )
+
+        vis = _visible_from_hit(h_shadow, jnp.linalg.norm(to_mic_diffuse, axis=-1))
+
+        # validation: the scene hit along each segment must land on the
+        # segment's endpoint (kernel.cpp:418-428)
+        new_ip = prev_pts + seg_dir * jnp.where(h_seg.hit, h_seg.t, 0.0)[..., None]
+        seg_ok = (
+            seg_front
+            & h_seg.hit
+            & jnp.all(jnp.abs(new_ip - ip_world) < EPSILON, axis=-1)
+        )
+        img_vis = _visible_from_hit(
+            h_imgvis, jnp.linalg.norm(to_mic_image, axis=-1)
+        )
+        img_ok = alive_new & jnp.all(seg_ok, axis=-1) & img_vis
+
+        # emit the image impulse with the PRE-bounce volume
+        # (kernel.cpp:442-455; volume updated only afterwards at :501)
+        init_diff = source - mic_reflection_new
+        init_dist = jnp.linalg.norm(init_diff, axis=-1)
+        image_vol.append(
+            jnp.where(
+                img_ok[:, None],
+                state.volume * _air_attenuation(init_dist),
+                0.0,
+            )
+        )
+        image_pos.append(jnp.where(img_ok[:, None], mic + init_diff, 0.0))
+        image_time.append(jnp.where(img_ok, SECONDS_PER_METER * init_dist, 0.0))
+        image_idx.append(
+            jnp.where(img_ok, bounce.index.astype(jnp.int32) + 1, 0)
+        )
+
+        mic_reflection = mic_reflection_new
+        state, alive_new, intersection, row = _diffuse_impulse(
+            soup, mic, state, bounce, vis, t_safe
+        )
+        diffuse_rows.append(row)
+
+    # ---- phase B: pure diffuse bounces (no image-source bookkeeping) ----
+    n_tail = nreflections - n_image_bounces
+    if n_tail > 0:
+
+        def step(carry, _):
+            st = carry
+            bounce = closest_hit(st.pos, st.dir, soup, impl=impl)
+            t_safe = jnp.where(bounce.hit, bounce.t, 0.0)
+            intersection = st.pos + st.dir * t_safe[:, None]
+            to_mic = mic - intersection
+            shadow = closest_hit(intersection, _safe_normalize(to_mic), soup, impl=impl)
+            vis = _visible_from_hit(shadow, jnp.linalg.norm(to_mic, axis=-1))
+            st2, _, _, row = _diffuse_impulse(soup, mic, st, bounce, vis, t_safe)
+            return st2, row
+
+        state, tail_rows = jax.lax.scan(step, state, None, length=n_tail)
+        tail_vol, tail_pos, tail_time = tail_rows
+    else:
+        tail_vol = tail_pos = tail_time = None
+
+    head_vol = jnp.stack([r[0] for r in diffuse_rows], axis=1) if diffuse_rows else None
+    head_pos = jnp.stack([r[1] for r in diffuse_rows], axis=1) if diffuse_rows else None
+    head_time = jnp.stack([r[2] for r in diffuse_rows], axis=1) if diffuse_rows else None
+
+    def _join(head, tail, move):
+        parts = []
+        if head is not None:
+            parts.append(head)
+        if tail is not None:
+            parts.append(jnp.moveaxis(tail, 0, 1) if move else tail)
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+    diffuse_volume = _join(head_vol, tail_vol, True)
+    diffuse_position = _join(head_pos, tail_pos, True)
+    diffuse_time = _join(head_time, tail_time, True)
+
+    # pad image slots when nreflections < NUM_IMAGE_SOURCE - 1
+    while len(image_vol) < NUM_IMAGE_SOURCE:
+        image_vol.append(jnp.zeros((n, NUM_BANDS), jnp.float32))
+        image_pos.append(jnp.zeros((n, 3), jnp.float32))
+        image_time.append(jnp.zeros((n,), jnp.float32))
+        image_idx.append(jnp.zeros((n,), jnp.int32))
+
+    return TraceOutputs(
+        diffuse_volume=diffuse_volume,
+        diffuse_position=diffuse_position,
+        diffuse_time=diffuse_time,
+        image_volume=jnp.stack(image_vol, axis=1),
+        image_position=jnp.stack(image_pos, axis=1),
+        image_time=jnp.stack(image_time, axis=1),
+        image_index=jnp.stack(image_idx, axis=1),
+    )
+
+
+def trace(
+    scene_or_soup,
+    mic,
+    source,
+    directions,
+    nreflections: int,
+    *,
+    ray_chunk: int = DEFAULT_RAY_CHUNK,
+    impl: str = "auto",
+) -> TraceOutputs:
+    """Host driver: chunk rays (the reference's RAY_GROUP_SIZE batching,
+    rayverb.cpp:587-684) through the jitted trace and reassemble.
+
+    Unlike the reference, chunking exists purely to bound device memory; the
+    chunk size never changes results.
+    """
+    soup = (
+        scene_or_soup
+        if isinstance(scene_or_soup, TriangleSoup)
+        else soup_from_scene(scene_or_soup)
+    )
+    directions = np.asarray(directions, dtype=np.float32)
+    n = directions.shape[0]
+    if n == 0:
+        raise ValueError("need at least one ray")
+
+    if n <= ray_chunk:
+        return trace_chunk(
+            soup, mic, source, directions, nreflections=nreflections, impl=impl
+        )
+
+    # pad to a chunk multiple so one compiled program serves every chunk
+    nchunks = -(-n // ray_chunk)
+    padded = nchunks * ray_chunk
+    if padded != n:
+        pad_dirs = np.zeros((padded - n, 3), dtype=np.float32)
+        pad_dirs[:, 2] = 1.0
+        directions = np.concatenate([directions, pad_dirs], axis=0)
+
+    pieces = []
+    for c in range(nchunks):
+        out = trace_chunk(
+            soup,
+            mic,
+            source,
+            directions[c * ray_chunk : (c + 1) * ray_chunk],
+            nreflections=nreflections,
+            impl=impl,
+        )
+        pieces.append(jax.device_get(out))
+    joined = TraceOutputs(
+        *[np.concatenate([p[i] for p in pieces], axis=0)[:n] for i in range(7)]
+    )
+    return joined
