@@ -34,8 +34,8 @@ class RaytracerResults:
         return int(self.time.shape[0])
 
 
-def dedup_images(outputs: TraceOutputs, remove_direct: bool):
-    """Cross-ray image-source dedup (rayverb.cpp:653-676).
+def dedup_select(image_index: np.ndarray, remove_direct: bool):
+    """Cross-ray image-source dedup (rayverb.cpp:653-676) — index phase.
 
     The reference inserts, per ray, every prefix of the 10-slot
     surface-index chain into an ordered map (first writer wins; identical
@@ -44,13 +44,11 @@ def dedup_images(outputs: TraceOutputs, remove_direct: bool):
     element is a real surface (non-zero). `removeDirect` then erases the
     {0} key (rayverb.cpp:692-697).
 
-    Returns (volume (K, 8), position (K, 3), time (K,)) in key-sorted order,
-    matching std::map iteration order.
+    Takes only the (N, S) index array (cheap to pull from device) and
+    returns (ray_ids, slot_ids) of the surviving unique entries in
+    key-sorted order — matching std::map iteration order.
     """
-    idx = np.asarray(outputs.image_index)          # (N, S) int32
-    vol = np.asarray(outputs.image_volume)
-    pos = np.asarray(outputs.image_position)
-    tim = np.asarray(outputs.image_time)
+    idx = np.asarray(image_index)
     n, s = idx.shape
 
     # prefix matrix: row (ray, k) = chain[:k] padded with -1
@@ -64,22 +62,62 @@ def dedup_images(outputs: TraceOutputs, remove_direct: bool):
         keep[:, 0] = False
 
     flat_keys = prefixes[keep]                     # (M, S)
+    ray_ids, slot_ids = np.nonzero(keep)
     if flat_keys.shape[0] == 0:
+        return ray_ids[:0], slot_ids[:0]
+    # np.unique(axis=0) sorts rows lexicographically == std::map key order
+    _, first = np.unique(flat_keys, axis=0, return_index=True)
+    return ray_ids[first], slot_ids[first]
+
+
+def dedup_images(outputs: TraceOutputs, remove_direct: bool):
+    """Deduplicated image-source impulses as host arrays:
+    (volume (K, 8), position (K, 3), time (K,))."""
+    sel_r, sel_s = dedup_select(np.asarray(outputs.image_index), remove_direct)
+    vol = np.asarray(outputs.image_volume[sel_r, sel_s], np.float32)
+    pos = np.asarray(outputs.image_position[sel_r, sel_s], np.float32)
+    tim = np.asarray(outputs.image_time[sel_r, sel_s], np.float32)
+    if sel_r.shape[0] == 0:
         return (
-            np.zeros((0, vol.shape[-1]), np.float32),
+            np.zeros((0, outputs.image_volume.shape[-1]), np.float32),
             np.zeros((0, 3), np.float32),
             np.zeros((0,), np.float32),
         )
-    ray_ids, slot_ids = np.nonzero(keep)
-    # np.unique(axis=0) sorts rows lexicographically == std::map key order
-    _, first = np.unique(flat_keys, axis=0, return_index=True)
-    sel_r = ray_ids[first]
-    sel_s = slot_ids[first]
-    return (
-        vol[sel_r, sel_s].astype(np.float32),
-        pos[sel_r, sel_s].astype(np.float32),
-        tim[sel_r, sel_s].astype(np.float32),
-    )
+    return vol, pos, tim
+
+
+def assemble_population(outputs: TraceOutputs, mode, remove_direct: bool):
+    """Device-resident population assembly for the pipeline: returns
+    (volume (M, 8), position (M, 3), time (M,)) as *device* arrays,
+    pulling only the (N, S) image-index table to the host for dedup.
+
+    `mode` is an OutputMode (cmd/main.cpp:255-269)."""
+    import jax.numpy as jnp
+
+    from .config.schema import OutputMode
+
+    parts = []
+    if mode in (OutputMode.ALL, OutputMode.DIFFUSE_ONLY):
+        n, r = outputs.diffuse_time.shape
+        parts.append(
+            (
+                outputs.diffuse_volume.reshape(n * r, -1),
+                outputs.diffuse_position.reshape(n * r, 3),
+                outputs.diffuse_time.reshape(n * r),
+            )
+        )
+    if mode in (OutputMode.ALL, OutputMode.IMAGE_ONLY):
+        sel_r, sel_s = dedup_select(np.asarray(outputs.image_index), remove_direct)
+        parts.append(
+            (
+                outputs.image_volume[sel_r, sel_s],
+                outputs.image_position[sel_r, sel_s],
+                outputs.image_time[sel_r, sel_s],
+            )
+        )
+    if len(parts) == 1:
+        return parts[0]
+    return tuple(jnp.concatenate([p[i] for p in parts], axis=0) for i in range(3))
 
 
 class Raytracer:

@@ -1,18 +1,196 @@
-"""Pallas TPU kernel for the closest-hit sweep.
+"""Pallas TPU kernel for the closest-hit sweep — the framework's hot loop.
 
-Placeholder module: the tiled (ray-block x triangle-block) VMEM-resident
-kernel lands here; until then callers fall back to the fused XLA sweep in
-intersect.py, which shares the exact same contract.
+Replaces the reference's per-work-item triangle loop
+(ray_triangle_intersection, reference rayverb/kernel.cpp:161-192) with a
+tiled (triangle-block x ray-block) sweep:
+
+  - grid (ray_blocks, tri_blocks), triangle axis minormost: each ray
+    block's running (best_t, best_index) output block stays VMEM-resident
+    across the whole triangle sweep (standard reduction-grid pattern)
+  - pair planes are laid out (TB sublanes, RB lanes): triangle constants
+    broadcast from (TB, 1) columns, ray components from (1, RB) rows —
+    no transposes inside the kernel
+  - Möller–Trumbore arithmetic and tolerances match intersect.py /
+    the reference exactly (|det| < EPSILON, strict barycentric bounds,
+    t > EPSILON, ties keep the lowest triangle index)
+
+Padding: rays are padded with +inf-miss rows, triangles with zero-area
+rows (det == 0 -> rejected), so block alignment never changes results.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import EPSILON
+
+# Tile sizes: lanes (rays) must be a multiple of 128, sublanes (triangles)
+# a multiple of 8. (TB, RB) f32 planes of 256x512 = 512 KB; the kernel
+# keeps ~8 live planes well under the ~16 MB VMEM budget.
+RAY_BLOCK = 512
+TRI_BLOCK = 256
+
+
+def _kernel(rays_ref, tris_ref, best_t_ref, best_i_ref):
+    tb = pl.program_id(1)
+
+    @pl.when(tb == 0)
+    def _init():
+        best_t_ref[...] = jnp.full_like(best_t_ref, jnp.inf)
+        best_i_ref[...] = jnp.zeros_like(best_i_ref)
+
+    # ray components: (1, RB) rows
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+
+    # triangle constants: (TB, 1) columns
+    v0x = tris_ref[:, 0:1]
+    v0y = tris_ref[:, 1:2]
+    v0z = tris_ref[:, 2:3]
+    e0x = tris_ref[:, 3:4]
+    e0y = tris_ref[:, 4:5]
+    e0z = tris_ref[:, 5:6]
+    e1x = tris_ref[:, 6:7]
+    e1y = tris_ref[:, 7:8]
+    e1z = tris_ref[:, 8:9]
+
+    # pvec = cross(d, e1): (TB, RB) planes
+    pvx = dy * e1z - dz * e1y
+    pvy = dz * e1x - dx * e1z
+    pvz = dx * e1y - dy * e1x
+
+    det = e0x * pvx + e0y * pvy + e0z * pvz
+    degenerate = jnp.abs(det) < EPSILON
+    invdet = 1.0 / jnp.where(degenerate, 1.0, det)
+
+    # tvec = o - v0
+    tvx = ox - v0x
+    tvy = oy - v0y
+    tvz = oz - v0z
+
+    u = invdet * (tvx * pvx + tvy * pvy + tvz * pvz)
+
+    # qvec = cross(tvec, e0)
+    qvx = tvy * e0z - tvz * e0y
+    qvy = tvz * e0x - tvx * e0z
+    qvz = tvx * e0y - tvy * e0x
+
+    v = invdet * (dx * qvx + dy * qvy + dz * qvz)
+    t = invdet * (e1x * qvx + e1y * qvy + e1z * qvz)
+
+    valid = (
+        (~degenerate)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t > EPSILON)
+    )
+    t = jnp.where(valid, t, jnp.inf)
+
+    # per-ray reduction over the triangle sublanes
+    tmin = jnp.min(t, axis=0, keepdims=True)                      # (1, RB)
+    local = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]      # (1, RB)
+    global_idx = tb * TRI_BLOCK + local
+
+    better = tmin < best_t_ref[...]
+    best_t_ref[...] = jnp.where(better, tmin, best_t_ref[...])
+    best_i_ref[...] = jnp.where(better, global_idx, best_i_ref[...])
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _closest_hit_padded(rays_t, tris, *, interpret: bool):
+    """rays_t: (8, Mp) f32; tris: (Tp, 16) f32. Returns ((1, Mp) t,
+    (1, Mp) idx)."""
+    mp = rays_t.shape[1]
+    tp = tris.shape[0]
+    grid = (mp // RAY_BLOCK, tp // TRI_BLOCK)
+    flops_per_pair = 55
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, RAY_BLOCK), lambda r, t: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TRI_BLOCK, 16), lambda r, t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RAY_BLOCK), lambda r, t: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda r, t: (0, r), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, mp), jnp.float32),
+            jax.ShapeDtypeStruct((1, mp), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pair * mp * tp,
+            bytes_accessed=rays_t.size * 4 + tris.size * 4 * grid[0] + mp * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(rays_t, tris)
+
+
+def pack_triangles(soup) -> jax.Array:
+    """(Tp, 16) triangle constant table: [v0, e0, e1, 0...] padded to the
+    triangle block size."""
+    t = soup.v0.shape[0]
+    tp = _round_up(t, TRI_BLOCK)
+    packed = jnp.concatenate(
+        [soup.v0, soup.e0, soup.e1, jnp.zeros((t, 7), jnp.float32)], axis=1
+    )
+    if tp != t:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((tp - t, 16), jnp.float32)], axis=0
+        )
+    return packed
+
 
 def should_use_pallas(num_rays: int, num_triangles: int) -> bool:
-    return False
+    """Heuristic dispatch: the Pallas kernel wins when there is enough work
+    to fill tiles; tiny sweeps stay on the fused-XLA path."""
+    if jax.default_backend() not in ("tpu",):
+        return False
+    return num_rays * num_triangles >= 256 * 256
 
 
-def closest_hit_pallas(origins, dirs, soup):
-    from .intersect import closest_hit_xla
+def closest_hit_pallas(origins, dirs, soup, *, interpret: bool | None = None):
+    """Contract-identical to intersect.closest_hit_xla."""
+    from .intersect import Hit
 
-    return closest_hit_xla(origins, dirs, soup)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    m = origins.shape[0]
+    mp = _round_up(max(m, RAY_BLOCK), RAY_BLOCK)
+    rays_t = jnp.concatenate(
+        [
+            jnp.asarray(origins, jnp.float32).T,
+            jnp.asarray(dirs, jnp.float32).T,
+            jnp.zeros((2, m), jnp.float32),
+        ],
+        axis=0,
+    )
+    if mp != m:
+        rays_t = jnp.concatenate(
+            [rays_t, jnp.zeros((8, mp - m), jnp.float32)], axis=1
+        )
+
+    tris = pack_triangles(soup)
+    best_t, best_i = _closest_hit_padded(rays_t, tris, interpret=interpret)
+    t = best_t[0, :m]
+    idx = best_i[0, :m]
+    # padded triangle rows can never win (zero area => rejected), so idx
+    # always points at a real triangle when hit is set
+    return Hit(t=t, index=idx, hit=jnp.isfinite(t))

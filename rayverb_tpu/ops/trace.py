@@ -400,9 +400,11 @@ def trace(
         pad_dirs[:, 2] = 1.0
         directions = np.concatenate([directions, pad_dirs], axis=0)
 
-    pieces = []
-    for c in range(nchunks):
-        out = trace_chunk(
+    # chunk outputs stay on device: host<->device transfers are the real
+    # bottleneck on tunneled TPU backends, so only the caller decides when
+    # (and whether) results ever leave HBM
+    pieces = [
+        trace_chunk(
             soup,
             mic,
             source,
@@ -410,8 +412,8 @@ def trace(
             nreflections=nreflections,
             impl=impl,
         )
-        pieces.append(jax.device_get(out))
-    joined = TraceOutputs(
-        *[np.concatenate([p[i] for p in pieces], axis=0)[:n] for i in range(7)]
+        for c in range(nchunks)
+    ]
+    return TraceOutputs(
+        *[jnp.concatenate([p[i] for p in pieces], axis=0)[:n] for i in range(7)]
     )
-    return joined

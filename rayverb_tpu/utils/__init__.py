@@ -1,1 +1,1 @@
-from .directions import random_directions, uniform_directions, sphere_point
+from .directions import random_directions, random_directions_jax, uniform_directions, sphere_point

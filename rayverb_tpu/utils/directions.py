@@ -23,11 +23,25 @@ def sphere_point(z, theta):
     return jnp.stack([zt * jnp.cos(theta), zt * jnp.sin(theta), z], axis=-1)
 
 
-def random_directions(num: int, key=None, seed: int | None = None) -> jax.Array:
+def random_directions(num: int, seed: int | None = None) -> np.ndarray:
     """(num, 3) float32 uniformly distributed unit vectors
-    (helpers.cpp:69-81, made deterministic)."""
-    if key is None:
-        key = jax.random.PRNGKey(0 if seed is None else seed)
+    (helpers.cpp:69-81, made deterministic).
+
+    Generated host-side with numpy: direction generation is O(num) setup
+    work, and jax.random's threefry pays a pathological compile cost on
+    some TPU backends for zero benefit here."""
+    rng = np.random.default_rng(0 if seed is None else seed)
+    z = rng.uniform(-1.0, 1.0, num)
+    theta = rng.uniform(-np.pi, np.pi, num)
+    zt = np.sqrt(np.maximum(0.0, 1.0 - z * z))
+    return np.stack(
+        [zt * np.cos(theta), zt * np.sin(theta), z], axis=-1
+    ).astype(np.float32)
+
+
+def random_directions_jax(num: int, key) -> jax.Array:
+    """In-jit variant taking an explicit PRNG key (for fused on-device
+    datagen pipelines)."""
     kz, kt = jax.random.split(key)
     z = jax.random.uniform(kz, (num,), minval=-1.0, maxval=1.0)
     theta = jax.random.uniform(kt, (num,), minval=-jnp.pi, maxval=jnp.pi)

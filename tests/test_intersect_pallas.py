@@ -1,0 +1,73 @@
+"""Pallas closest-hit kernel vs the XLA reference implementation
+(interpret mode on the CPU backend; the same kernel compiles on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rayverb_tpu.ops.intersect import closest_hit_xla, soup_from_scene
+from rayverb_tpu.ops.intersect_pallas import closest_hit_pallas
+
+
+def random_rays(rng, n, center, spread=5.0):
+    o = (rng.uniform(-spread, spread, (n, 3)) + center).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("n", [1, 7, 512, 700])
+def test_matches_xla_on_box(large_square_soup, rng, n):
+    o, d = random_rays(rng, n, np.array([0, 10, 0]))
+    ref = closest_hit_xla(o, d, large_square_soup)
+    got = closest_hit_pallas(o, d, large_square_soup, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[hit], np.asarray(ref.t)[hit], rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.index)[hit], np.asarray(ref.index)[hit]
+    )
+
+
+def test_matches_xla_on_larger_scene(assets_dir, rng):
+    from rayverb_tpu import load_scene
+
+    scene = load_scene(
+        str(assets_dir / "test_models" / "random_pillars.obj"),
+        str(assets_dir / "materials" / "mat.json"),
+    )
+    soup = soup_from_scene(scene)
+    center = scene.bounds.mean(axis=0)
+    o, d = random_rays(rng, 300, center, spread=3.0)
+    ref = closest_hit_xla(o, d, soup)
+    got = closest_hit_pallas(o, d, soup, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[hit], np.asarray(ref.t)[hit], rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.index)[hit], np.asarray(ref.index)[hit]
+    )
+
+
+def test_trace_with_pallas_impl_matches(large_square_scene):
+    """Full trace equality between impl='xla' and impl='pallas'
+    (interpret mode under the hood on CPU)."""
+    from rayverb_tpu.ops.intersect import soup_from_scene as sfs
+    from rayverb_tpu.ops.trace import trace
+
+    soup = sfs(large_square_scene)
+    dirs = np.array(
+        [[0, 0, -1], [0, -1, 0], [0.6, -0.64, 0.48]], np.float32
+    )
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    mic = np.float32([0, 2, 0])
+    src = np.float32([0, 2, 2])
+    a = trace(soup, mic, src, dirs, 6, impl="xla")
+    b = trace(soup, mic, src, dirs, 6, impl="pallas")
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
