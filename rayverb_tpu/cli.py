@@ -34,8 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write per-ray reflection paths as JSONL (the reference's "
                         "DIAGNOSTIC impulse.dump, always available here)")
     p.add_argument("--filter-method", choices=("scan", "fft"), default="scan",
-                   help="IIR filters as exact sequential scans or the FFT fast path")
+                   help="IIR filters as exact sequential scans or the FFT fast "
+                        "path (modular pipeline only)")
     p.add_argument("--trace-impl", choices=("auto", "xla", "pallas"), default="auto")
+    p.add_argument("--pipeline", choices=("fused", "modular"), default="fused",
+                   help="fused: whole render on-device in two programs (fast "
+                        "path); modular: reference-stage-structured pipeline "
+                        "(exact scan filters, raw impulse access)")
     p.add_argument("--stats", action="store_true",
                    help="print phase timings and throughput to stderr")
     return p
@@ -94,20 +99,36 @@ def main(argv=None) -> int:
         scene = load_scene(args.model, args.materials, verbose=config.verbose)
         t1 = _time.perf_counter()
 
-        from .pipeline import render
+        from .config.schema import FilterType
 
         seed = args.seed if args.seed is not None else config.seed
         directions = random_directions(config.rays, seed=seed)
-        result = render(
-            config,
-            scene,
-            directions=directions,
-            filter_method=args.filter_method,
-            trace_impl=args.trace_impl,
+
+        use_fused = (
+            args.pipeline == "fused"
+            and config.filter != FilterType.WINDOWED_SINC
+            and not args.dump_paths
         )
+        if use_fused:
+            from .ops.render import render_fused
+
+            channels, _info = render_fused(
+                scene, config, directions, impl=args.trace_impl
+            )
+        else:
+            from .pipeline import render
+
+            result = render(
+                config,
+                scene,
+                directions=directions,
+                filter_method=args.filter_method,
+                trace_impl=args.trace_impl,
+            )
+            channels = result.channels
         t2 = _time.perf_counter()
 
-        if args.dump_paths:
+        if args.dump_paths and not use_fused:
             from .utils.diagnostics import dump_paths
 
             dump_paths(
@@ -118,7 +139,7 @@ def main(argv=None) -> int:
             )
 
         write_audio(
-            args.output, result.channels, config.sample_rate, config.bit_depth
+            args.output, channels, config.sample_rate, config.bit_depth
         )
         t3 = _time.perf_counter()
 

@@ -1,0 +1,611 @@
+"""Fused device-resident render: trace -> attenuate -> histogram -> filter
+in two compiled programs, with nothing but the finished IR leaving HBM.
+
+Motivation (and the reason this is the production path): the modular
+pipeline mirrors the reference's stage structure (trace, getRawX,
+attenuate, flatten, process — cmd/main.cpp:241-336), which on a tunneled
+TPU backend costs a host<->device round trip per stage. Here:
+
+  chunk program   = trace_chunk + per-channel diffuse attenuation +
+                    scatter-add into the (C, 8, L) energy histogram,
+                    plus compact per-ray image-source records with
+                    on-device chain hashes
+  finalize program = cross-ray image dedup (sort by chain hash, keep
+                    first — the std::map insert of rayverb.cpp:653-676),
+                    image attenuation + scatter, crossover filter bank,
+                    mixdown, normalize, volume scale, trim-length scalar
+
+Documented deviations from the reference (beyond those in trace.py):
+  - chain identity uses two independent 32-bit mixes of the surface-index
+    prefix instead of exact vector keys; a collision would merge two
+    distinct early reflections (probability ~2^-64 per pair)
+  - trim_predelay shifts whole histogram bins by round(predelay*sr)
+    rather than per-impulse time subtraction: each impulse may land one
+    sample away from the reference's placement
+  - the histogram length is a static scene-derived upper bound
+    ((R+2) * bbox diagonal + slack), truncated to the real IR length after
+    the fact
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.schema import FilterType, OutputMode, RenderConfig
+from ..constants import (
+    NUM_BANDS,
+    NUM_IMAGE_SOURCE,
+    SECONDS_PER_METER,
+    TRIM_TAIL_FLOOR,
+)
+from .filters import _band_coeffs, _biquad_response, _fft_len
+from .intersect import TriangleSoup, soup_from_scene
+from .trace import DEFAULT_RAY_CHUNK, trace_chunk
+
+from ..runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
+MAX_HIST_LEN = 1 << 23  # ~190 s at 44.1 kHz; hard cap on the static bound
+
+
+# ---------------------------------------------------------------------------
+# chain hashing (device-side identity for the dedup map keys)
+# ---------------------------------------------------------------------------
+
+def _mix32(h):
+    h = h ^ (h >> 16)
+    h = h * np.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * np.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return h
+
+
+def chain_hashes(image_index):
+    """(N, S) int32 chains -> two (N, S) uint32 cumulative prefix hashes.
+    Prefix equality (the reference's map key, rayverb.cpp:662-666) becomes
+    hash-pair equality."""
+    idx = image_index.astype(jnp.uint32)
+    h1 = jnp.full(idx.shape[:-1], np.uint32(0x9E3779B9))
+    h2 = jnp.full(idx.shape[:-1], np.uint32(0x85EBCA6B))
+    out1, out2 = [], []
+    for k in range(idx.shape[-1]):
+        h1 = _mix32(h1 ^ idx[..., k])
+        h2 = _mix32((h2 + idx[..., k]) ^ np.uint32(0x27D4EB2F))
+        out1.append(h1)
+        out2.append(h2)
+    return jnp.stack(out1, axis=-1), jnp.stack(out2, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# attenuation helpers shared with ops.attenuate (same math, jit-inline)
+# ---------------------------------------------------------------------------
+
+def _safe_normalize(v):
+    mag = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / jnp.where(mag > 0, mag, 1.0)
+
+
+def _speaker_gain(mic, positions, direction, coefficient):
+    """(1-c) + c*cos (kernel.cpp:505-513)."""
+    return (1.0 - coefficient) + coefficient * jnp.sum(
+        _safe_normalize(positions - mic) * _safe_normalize(direction), axis=-1
+    )
+
+
+def _hrtf_channel(mic, positions, times, table, basis, channel: int):
+    """Gain + ITD-shifted time for one ear (kernel.cpp:586-625)."""
+    from ..constants import HRTF_EAR_OFFSET
+    from .attenuate import hrtf_lookup_indices
+
+    width = -HRTF_EAR_OFFSET if channel == 0 else HRTF_EAR_OFFSET
+    ear = basis @ jnp.array([width, 0.0, 0.0], jnp.float32) + mic
+    direction = _safe_normalize(positions - mic)
+    a, e = hrtf_lookup_indices(direction @ basis.T)
+    gains = table[channel, a, e]
+    diff = jnp.linalg.norm(positions - ear, axis=-1) - jnp.linalg.norm(
+        positions - mic, axis=-1
+    )
+    return gains, times + diff * SECONDS_PER_METER
+
+
+class AttenSpec(NamedTuple):
+    """Static attenuation mode + device parameter arrays."""
+
+    is_hrtf: bool
+    nchannels: int
+    speaker_dirs: jax.Array | None   # (C, 3)
+    speaker_coeffs: jax.Array | None  # (C,)
+    table: jax.Array | None          # (2, 360, 180, 8)
+    facing: jax.Array | None
+    up: jax.Array | None
+
+
+def make_atten_spec(model, table=None) -> AttenSpec:
+    if model.is_hrtf:
+        if table is None:
+            from ..hrtf.table import default_table
+
+            table = default_table()
+        return AttenSpec(
+            is_hrtf=True,
+            nchannels=2,
+            speaker_dirs=None,
+            speaker_coeffs=None,
+            table=jnp.asarray(table, jnp.float32),
+            facing=jnp.asarray(model.hrtf.facing, jnp.float32),
+            up=jnp.asarray(model.hrtf.up, jnp.float32),
+        )
+    dirs = jnp.asarray(
+        np.stack([np.asarray(s.direction, np.float32) for s in model.speakers]),
+    )
+    coeffs = jnp.asarray(
+        np.asarray([s.shape for s in model.speakers], np.float32)
+    )
+    return AttenSpec(
+        is_hrtf=False,
+        nchannels=len(model.speakers),
+        speaker_dirs=dirs,
+        speaker_coeffs=coeffs,
+        table=None,
+        facing=None,
+        up=None,
+    )
+
+
+def _attenuate_and_bin(
+    mic, volumes, positions, times, spec: AttenSpec, length: int,
+    sample_rate, predelay, weight=None,
+):
+    """(M, 8) impulses -> (C, 8, length) histogram contribution, fused
+    attenuation + scatter (flattenImpulses, rayverb.cpp:48-77).
+
+    `weight` (M,) optionally masks rows (image dedup selection). Zero-volume
+    impulses contribute nothing, matching the skip in kernel.cpp:524,607.
+    """
+    nonzero = jnp.any(volumes != 0, axis=-1)
+    if weight is not None:
+        nonzero = nonzero & (weight > 0)
+    basis = None
+    if spec.is_hrtf:
+        from .attenuate import head_basis
+
+        basis = head_basis(spec.facing, spec.up)
+
+    hists = []
+    for c in range(spec.nchannels):
+        if spec.is_hrtf:
+            gains, t_c = _hrtf_channel(
+                mic, positions, times, spec.table, basis, c
+            )
+            vol_c = volumes * gains
+        else:
+            gain = _speaker_gain(
+                mic, positions, spec.speaker_dirs[c], spec.speaker_coeffs[c]
+            )
+            vol_c = volumes * gain[:, None]
+            t_c = times
+        t_c = jnp.maximum(t_c - predelay, 0.0) if predelay is not None else t_c
+        idx = jnp.floor(t_c * sample_rate + 0.5).astype(jnp.int32)
+        idx = jnp.where(nonzero, idx, length)  # out of range -> dropped
+        vol_c = jnp.where(nonzero[:, None], vol_c, 0.0)
+        hist = jnp.zeros((NUM_BANDS, length), jnp.float32)
+        hists.append(hist.at[:, idx].add(vol_c.T, mode="drop"))
+    return jnp.stack(hists)
+
+
+class ChunkOut(NamedTuple):
+    hist: jax.Array          # (C, 8, L) diffuse contribution
+    img_volume: jax.Array    # (N, S, 8)
+    img_position: jax.Array  # (N, S, 3)
+    img_time: jax.Array      # (N, S)
+    img_slot: jax.Array      # (N, S) int32 slot number
+    img_valid: jax.Array     # (N, S) bool (reference map-admission rule)
+    img_h1: jax.Array        # (N, S) uint32
+    img_h2: jax.Array        # (N, S) uint32
+    max_time: jax.Array      # () diffuse max time
+    min_time: jax.Array      # () earliest non-zero diffuse time (predelay)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nreflections", "length", "impl", "spec_static", "include_diffuse"),
+)
+def _fused_chunk(
+    soup: TriangleSoup,
+    mic,
+    source,
+    directions,
+    nvalid,
+    spec_arrays,
+    *,
+    nreflections: int,
+    length: int,
+    sample_rate,
+    impl: str,
+    spec_static,
+    include_diffuse: bool,
+) -> ChunkOut:
+    is_hrtf, nchannels = spec_static
+    spec = AttenSpec(is_hrtf, nchannels, *spec_arrays)
+    mic = jnp.asarray(mic, jnp.float32)
+    source = jnp.asarray(source, jnp.float32)
+
+    out = trace_chunk(
+        soup, mic, source, directions, nreflections=nreflections, impl=impl
+    )
+    n, r = out.diffuse_time.shape
+    # rays beyond nvalid are chunk padding: everything they produced is
+    # masked out here (the modular driver instead slices them off)
+    ray_ok = jnp.arange(n) < nvalid
+
+    if include_diffuse:
+        vol = jnp.where(
+            ray_ok[:, None, None], out.diffuse_volume, 0.0
+        ).reshape(n * r, NUM_BANDS)
+        pos = out.diffuse_position.reshape(n * r, 3)
+        tim = out.diffuse_time.reshape(n * r)
+        hist = _attenuate_and_bin(
+            mic, vol, pos, tim, spec, length, sample_rate, predelay=None
+        )
+    else:
+        hist = jnp.zeros((nchannels, NUM_BANDS, length), jnp.float32)
+
+    h1, h2 = chain_hashes(out.image_index)
+    slots = jnp.broadcast_to(
+        jnp.arange(NUM_IMAGE_SOURCE, dtype=jnp.int32)[None, :],
+        out.image_index.shape,
+    )
+    valid = ((slots == 0) | (out.image_index != 0)) & ray_ok[:, None]
+
+    nz_diff = jnp.any(out.diffuse_volume != 0, axis=-1) & ray_ok[:, None]
+    tim_all = out.diffuse_time
+    max_t = jnp.max(jnp.where(nz_diff, tim_all, 0.0))
+    min_t = jnp.min(jnp.where(nz_diff & (tim_all > 0), tim_all, jnp.inf))
+
+    return ChunkOut(
+        hist=hist,
+        img_volume=out.image_volume,
+        img_position=out.image_position,
+        img_time=out.image_time,
+        img_slot=slots,
+        img_valid=valid,
+        img_h1=h1,
+        img_h2=h2,
+        max_time=max_t,
+        min_time=min_t,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "length",
+        "spec_static",
+        "include_images",
+        "remove_direct",
+        "flips",
+        "nfft",
+        "do_normalize",
+    ),
+)
+def _finalize(
+    hist,
+    img_volume,
+    img_position,
+    img_time,
+    img_slot,
+    img_valid,
+    img_h1,
+    img_h2,
+    mic,
+    spec_arrays,
+    responses,
+    predelay,
+    volume_scale,
+    sample_rate,
+    *,
+    length: int,
+    spec_static,
+    include_images: bool,
+    remove_direct: bool,
+    flips: tuple,
+    nfft: int,
+    do_normalize: bool,
+):
+    is_hrtf, nchannels = spec_static
+    spec = AttenSpec(is_hrtf, nchannels, *spec_arrays)
+    mic = jnp.asarray(mic, jnp.float32)
+
+    if include_images:
+        m = img_h1.size
+        h1 = img_h1.reshape(m)
+        h2 = img_h2.reshape(m)
+        valid = img_valid.reshape(m)
+        if remove_direct:
+            valid = valid & (img_slot.reshape(m) != 0)
+        # push invalid rows to the end of the sort order
+        sent = np.uint32(0xFFFFFFFF)
+        k1 = jnp.where(valid, h1, sent)
+        k2 = jnp.where(valid, h2, sent)
+        row = jnp.arange(m, dtype=jnp.int32)
+        s1, s2, srow, svalid = jax.lax.sort(
+            (k1, k2, row, valid.astype(jnp.int32)), num_keys=2
+        )
+        first = jnp.concatenate(
+            [
+                jnp.ones((1,), bool),
+                (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]),
+            ]
+        )
+        selected = first & (svalid == 1)
+        weight = jnp.zeros((m,), jnp.float32).at[srow].add(
+            selected.astype(jnp.float32)
+        )
+        img_hist = _attenuate_and_bin(
+            mic,
+            img_volume.reshape(m, NUM_BANDS),
+            img_position.reshape(m, 3),
+            img_time.reshape(m),
+            spec,
+            length,
+            sample_rate,
+            predelay=None,
+            weight=weight,
+        )
+        hist = hist + img_hist
+
+    if predelay is not None:
+        shift = jnp.floor(predelay * sample_rate + 0.5).astype(jnp.int32)
+        idx = jnp.arange(length) + shift  # gather source indices
+        idx = jnp.clip(idx, 0, length - 1)
+        shifted = jnp.take(hist, idx, axis=-1)
+        # bins before the (clipped) shift source would duplicate bin 0+shift
+        mask = (jnp.arange(length) + shift) < length
+        hist = jnp.where(mask, shifted, 0.0)
+
+    # exact content length: one past the last occupied bin (the reference's
+    # flatten length round(maxtime*sr)+1, rayverb.cpp:53-57, minus trailing
+    # bins owned solely by zero-volume impulses)
+    occupied = jnp.any(hist != 0, axis=(0, 1))
+    content_len = (
+        jnp.max(jnp.where(occupied, jnp.arange(length), -1)) + 1
+    )
+
+    # crossover filter bank + mixdown (process, rayverb.cpp:125-149).
+    # After every pass, samples at/after the content length are zeroed:
+    # the reference's arrays END there, so each pass (notably the reversed
+    # ones) must see exactly a content-length signal.
+    out = hist
+    t = out.shape[-1]
+    in_content = (jnp.arange(t) < content_len).astype(out.dtype)
+    nflips = 0
+    flipped = False
+    for p, do_flip in enumerate(flips):
+        if do_flip:
+            out = jnp.flip(out, axis=-1)
+            nflips += 1
+            flipped = not flipped
+        spec_f = jnp.fft.rfft(out, n=nfft)
+        out = jnp.fft.irfft(spec_f * responses[p], n=nfft)[..., :t]
+        cut = jnp.flip(in_content) if flipped else in_content
+        out = out * cut
+    if nflips % 2:
+        out = jnp.flip(out, axis=-1)
+    mixed = jnp.sum(out, axis=-2)  # (C, L)
+
+    if do_normalize:
+        peak = jnp.max(jnp.abs(mixed))
+        mixed = mixed * jnp.where(peak > 0, 1.0 / peak, 1.0)
+    mixed = mixed * volume_scale
+
+    # trimTail length (rayverb.cpp:96-122 semantics, computed on device,
+    # restricted to the content region — the reference's array ends there)
+    positions = jnp.arange(mixed.shape[-1])[None, :]
+    loud = (jnp.abs(mixed) >= TRIM_TAIL_FLOOR) & (positions < content_len)
+    last = jnp.max(jnp.where(loud, positions, -1))
+    trim_len = jnp.maximum(last, 0)
+    return mixed.astype(jnp.float32), trim_len, content_len
+
+
+def histogram_length(scene, nreflections: int, sample_rate: float) -> int:
+    """Static scene-derived upper bound on the IR length."""
+    lo, hi = np.asarray(scene.bounds)
+    diag = float(np.linalg.norm(hi - lo))
+    max_t = ((nreflections + 2) * max(diag, 1.0) + 1.0) * SECONDS_PER_METER
+    length = int(np.floor(max_t * sample_rate + 0.5)) + 8
+    return min(max(length, 256), MAX_HIST_LEN)
+
+
+def render_fused(
+    scene,
+    config: RenderConfig,
+    directions,
+    *,
+    hrtf_table=None,
+    impl: str = "auto",
+    ray_chunk: int = DEFAULT_RAY_CHUNK,
+    soup: TriangleSoup | None = None,
+):
+    """Full-speed render. Returns (channels (C, T') float32 numpy, info dict).
+
+    Only scalars (predelay, max time, trim length) and the final (C, L)
+    output ever leave the device.
+    """
+    if config.filter == FilterType.WINDOWED_SINC:
+        raise ValueError(
+            "the fused path supports IIR filter types; use the modular "
+            "pipeline for 'sinc'"
+        )
+    if soup is None:
+        soup = soup_from_scene(scene)
+    spec = make_atten_spec(config.attenuation_model, hrtf_table)
+    spec_arrays = tuple(spec[2:])
+    spec_static = (spec.is_hrtf, spec.nchannels)
+
+    length = histogram_length(scene, config.reflections, config.sample_rate)
+
+    directions = np.asarray(directions, dtype=np.float32)
+    n = directions.shape[0]
+    nchunks = max(1, -(-n // ray_chunk))
+    chunk = ray_chunk if n > ray_chunk else n
+    padded = nchunks * chunk
+    if padded != n:
+        pad = np.zeros((padded - n, 3), dtype=np.float32)
+        pad[:, 2] = 1.0
+        directions = np.concatenate([directions, pad], axis=0)
+
+    include_diffuse = config.output_mode in (OutputMode.ALL, OutputMode.DIFFUSE_ONLY)
+    include_images = config.output_mode in (OutputMode.ALL, OutputMode.IMAGE_ONLY)
+
+    # filter responses (host-precomputed, single finalize compile)
+    passes = _band_coeffs(config.filter, config.sample_rate, config.hipass)
+    nfft = _fft_len(length)
+    responses = np.stack(
+        [
+            np.stack(
+                [_biquad_response(cf, nfft).astype(np.complex64) for cf in coeffs]
+            )
+            for coeffs, _ in passes
+        ]
+    )
+    flips = tuple(bool(f) for _, f in passes)
+    responses_dev = jnp.asarray(responses)
+
+    def call_finalize(hist, imgs, predelay):
+        return _finalize(
+            hist,
+            *imgs,
+            np.asarray(config.mic_position, np.float32),
+            spec_arrays,
+            responses_dev,
+            None if predelay is None else np.float32(predelay),
+            np.float32(config.volume_scale),
+            np.float32(config.sample_rate),
+            length=length,
+            spec_static=spec_static,
+            include_images=include_images,
+            remove_direct=config.remove_direct,
+            flips=flips,
+            nfft=nfft,
+            do_normalize=config.normalize,
+        )
+
+    # Warm the finalize program BEFORE the chunk program: some tunneled
+    # backends reject whichever large program compiles second in a process;
+    # compiling finalize first (and persisting both in the compilation
+    # cache) sidesteps the order sensitivity.
+    total_rays = padded
+    warm_imgs = (
+        jnp.zeros((total_rays, NUM_IMAGE_SOURCE, NUM_BANDS), jnp.float32),
+        jnp.zeros((total_rays, NUM_IMAGE_SOURCE, 3), jnp.float32),
+        jnp.zeros((total_rays, NUM_IMAGE_SOURCE), jnp.float32),
+        jnp.zeros((total_rays, NUM_IMAGE_SOURCE), jnp.int32),
+        jnp.zeros((total_rays, NUM_IMAGE_SOURCE), bool),
+        jnp.zeros((total_rays, NUM_IMAGE_SOURCE), jnp.uint32),
+        jnp.zeros((total_rays, NUM_IMAGE_SOURCE), jnp.uint32),
+    )
+    warm_hist = jnp.zeros((spec.nchannels, NUM_BANDS, length), jnp.float32)
+    try:
+        jax.block_until_ready(
+            call_finalize(
+                warm_hist,
+                warm_imgs,
+                np.float32(0.0) if config.trim_predelay else None,
+            )
+        )
+    except jax.errors.JaxRuntimeError:  # pragma: no cover - backend flake
+        pass  # the real call below will raise (or succeed) on its own
+    del warm_imgs, warm_hist
+
+    hist = None
+    img_parts = []
+    max_t = 0.0
+    min_t = np.inf
+    for c in range(nchunks):
+        nvalid = np.int32(min(chunk, max(0, n - c * chunk)))
+        out = _fused_chunk(
+            soup,
+            config.mic_position,
+            config.source_position,
+            directions[c * chunk : (c + 1) * chunk],
+            nvalid,
+            spec_arrays,
+            nreflections=config.reflections,
+            length=length,
+            sample_rate=config.sample_rate,
+            impl=impl,
+            spec_static=spec_static,
+            include_diffuse=include_diffuse,
+        )
+        hist = out.hist if hist is None else hist + out.hist
+        img_parts.append(out)
+        max_t = max(max_t, float(out.max_time))
+        mt = float(out.min_time)
+        min_t = min(min_t, mt)
+
+    def cat(field):
+        if nchunks == 1:
+            return getattr(img_parts[0], field)
+        return jnp.concatenate([getattr(p, field) for p in img_parts], axis=0)
+
+    img_volume = cat("img_volume")
+    img_position = cat("img_position")
+    img_time = cat("img_time")
+    img_slot = cat("img_slot")
+    img_valid = cat("img_valid")
+    img_h1 = cat("img_h1")
+    img_h2 = cat("img_h2")
+
+    # direct-path + image times participate in predelay like the reference's
+    # findPredelay over attenuated impulses (rayverb.h:49-73)
+    if include_images:
+        it = np.asarray(
+            jnp.min(
+                jnp.where(
+                    img_valid & (img_time > 0) & jnp.any(img_volume != 0, -1),
+                    img_time,
+                    jnp.inf,
+                )
+            )
+        )
+        min_t = min(min_t, float(it))
+        max_img = float(
+            jnp.max(jnp.where(img_valid, img_time, 0.0))
+        )
+        max_t = max(max_t, max_img)
+
+    predelay = None
+    if config.trim_predelay and np.isfinite(min_t):
+        predelay = float(min_t)
+
+    mixed, trim_len, content_len = call_finalize(
+        hist,
+        (
+            img_volume,
+            img_position,
+            img_time,
+            img_slot,
+            img_valid,
+            img_h1,
+            img_h2,
+        ),
+        predelay,
+    )
+
+    content = int(content_len)
+    out_len = min(int(trim_len), content) if config.trim_tail else content
+    channels = np.asarray(mixed[..., :max(out_len, 1)])[:, :out_len]
+    return channels, {
+        "predelay": predelay or 0.0,
+        "histogram_length": length,
+        "content_length": content,
+        "trim_length": int(trim_len),
+        "max_diffuse_time": max_t,
+    }

@@ -49,6 +49,10 @@ from .intersect import (
     soup_from_scene,
 )
 
+from ..runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
 DEFAULT_RAY_CHUNK = 4096  # mirrors the reference's RAY_GROUP_SIZE (rayverb.h:199)
 
 

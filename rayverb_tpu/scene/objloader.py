@@ -50,8 +50,9 @@ def _parse_index(token: str, nverts: int) -> int:
     raise ValueError("OBJ face index 0 is invalid")
 
 
-def load_obj(path: str) -> RawMesh:
-    """Parse an OBJ file into a :class:`RawMesh`.
+def load_obj_python(path: str) -> RawMesh:
+    """Parse an OBJ file into a :class:`RawMesh` (pure-Python reference
+    implementation — the semantic spec for the native importer).
 
     Only geometry statements are honoured (v, f, usemtl); texture/normal
     indices inside face tokens are ignored, as are smoothing groups, lines
@@ -92,6 +93,26 @@ def load_obj(path: str) -> RawMesh:
         faces=np.asarray(faces, dtype=np.int64),
         face_materials=face_materials,
     )
+
+
+def load_obj(path: str) -> RawMesh:
+    """Parse an OBJ file, preferring the native C++ importer
+    (rayverb_tpu/native/objparse.cpp) with transparent fallback to the
+    Python implementation. RAYVERB_NO_NATIVE=1 forces the fallback."""
+    if not os.environ.get("RAYVERB_NO_NATIVE"):
+        try:
+            from ..native import load_obj_native
+
+            mesh = load_obj_native(path)
+            if mesh is not None:
+                return mesh
+        except (ValueError, FileNotFoundError):
+            raise
+        except Exception:
+            pass  # any binding-level surprise -> Python fallback
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    return load_obj_python(path)
 
 
 def load_mesh(path: str) -> RawMesh:

@@ -1,0 +1,145 @@
+"""Fused device-resident render vs the modular reference-structured
+pipeline — same impulses, same filters, same output (within fp noise and
+the documented deviations)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from rayverb_tpu.config.schema import parse_config
+from rayverb_tpu.ops.render import chain_hashes, histogram_length, render_fused
+from rayverb_tpu.pipeline import render
+from rayverb_tpu.scene.compile import load_scene
+from rayverb_tpu.utils.directions import random_directions
+
+
+def make_config(**overrides):
+    doc = {
+        "rays": 96,
+        "reflections": 12,
+        "sample_rate": 16000,
+        "bit_depth": 16,
+        "source_position": [0, 2, 2],
+        "mic_position": [0, 2, 0],
+        "attenuation_model": {
+            "speakers": [
+                {"direction": [0, 0, 1], "shape": 0.5},
+                {"direction": [1, 0, 0], "shape": 0.0},
+            ]
+        },
+        "trim_tail": False,
+        "seed": 11,
+    }
+    doc.update(overrides)
+    return parse_config(json.dumps(doc))
+
+
+@pytest.fixture(scope="module")
+def box(assets_dir):
+    return load_scene(
+        str(assets_dir / "test_models" / "large_square.obj"),
+        str(assets_dir / "materials" / "mat.json"),
+    )
+
+
+def compare(cfg, scene, atol=2e-4):
+    dirs = random_directions(cfg.rays, seed=cfg.seed)
+    fused, info = render_fused(scene, cfg, dirs)
+    modular = render(cfg, scene, directions=dirs, filter_method="fft").channels
+    n = min(fused.shape[-1], modular.shape[-1])
+    assert n > 50
+    scale = max(np.abs(modular).max(), 1e-9)
+    np.testing.assert_allclose(
+        fused[:, :n] / scale, modular[:, :n] / scale, atol=atol
+    )
+    # anything beyond the common length is below the trim floor / slack
+    assert np.abs(fused[:, n:]).max(initial=0.0) < 2e-4
+    assert np.abs(modular[:, n:]).max(initial=0.0) < 2e-4
+    return fused, modular, info
+
+
+def test_speakers_match(box):
+    compare(make_config(), box)
+
+
+def test_hrtf_match(box):
+    cfg = make_config(
+        attenuation_model={"hrtf": {"facing": [0, 0, 1], "up": [0, 1, 0]}}
+    )
+    compare(cfg, box)
+
+
+def test_output_modes(box):
+    compare(make_config(output_mode="image_only"), box)
+    compare(make_config(output_mode="diffuse_only"), box)
+    compare(make_config(remove_direct=True), box)
+
+
+def test_linkwitz_riley(box):
+    compare(make_config(filter="linkwitz_riley"), box)
+
+
+def test_trim_tail(box):
+    cfg = make_config(trim_tail=True)
+    dirs = random_directions(cfg.rays, seed=cfg.seed)
+    fused, info = render_fused(box, cfg, dirs)
+    modular = render(cfg, box, directions=dirs, filter_method="fft").channels
+    # trim lengths within a couple of samples of each other
+    assert abs(fused.shape[-1] - modular.shape[-1]) <= 2
+
+
+def test_predelay_shift(box):
+    cfg = make_config(trim_predelay=True)
+    dirs = random_directions(cfg.rays, seed=cfg.seed)
+    fused, info = render_fused(box, cfg, dirs)
+    np.testing.assert_allclose(info["predelay"], 2.0 / 340.0, rtol=1e-4)
+    # energy starts immediately (bin shift): first 4 samples contain signal
+    assert np.abs(fused[:, :8]).max() > 0
+
+
+def test_chunked_matches_single(box):
+    cfg = make_config(rays=70)
+    dirs = random_directions(cfg.rays, seed=3)
+    a, _ = render_fused(box, cfg, dirs, ray_chunk=4096)
+    b, _ = render_fused(box, cfg, dirs, ray_chunk=32)
+    n = min(a.shape[-1], b.shape[-1])
+    np.testing.assert_allclose(a[:, :n], b[:, :n], atol=1e-5)
+
+
+def test_chain_hashes_prefix_semantics():
+    import jax.numpy as jnp
+
+    idx = jnp.asarray(
+        np.array(
+            [
+                [0, 5, 7, 0, 0],
+                [0, 5, 7, 0, 0],   # identical chain -> identical hashes
+                [0, 5, 8, 0, 0],   # diverges at slot 2
+            ],
+            np.int32,
+        )
+    )
+    h1, h2 = chain_hashes(idx)
+    h1 = np.asarray(h1)
+    h2 = np.asarray(h2)
+    np.testing.assert_array_equal(h1[0], h1[1])
+    np.testing.assert_array_equal(h2[0], h2[1])
+    assert h1[0, 1] == h1[2, 1]  # shared prefix [0, 5]
+    assert h1[0, 2] != h1[2, 2]  # diverged
+    assert h2[0, 2] != h2[2, 2]
+
+
+def test_histogram_length_bounds(box):
+    l = histogram_length(box, 12, 16000.0)
+    # box diagonal ~66 m, 14 segments -> ~2.7 s at 16 kHz
+    assert 40000 < l < 80000
+    from rayverb_tpu.ops.render import MAX_HIST_LEN
+
+    assert histogram_length(box, 100000, 44100.0) == MAX_HIST_LEN
+
+
+def test_sinc_rejected(box):
+    cfg = make_config(filter="sinc")
+    with pytest.raises(ValueError):
+        render_fused(box, cfg, random_directions(8, seed=0))
