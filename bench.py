@@ -50,7 +50,7 @@ def main():
             os.path.join(REPO, "assets/configs/vault.json"),
             os.path.join(REPO, "assets/test_models/vault.obj"),
             os.path.join(REPO, "assets/materials/vault.json"),
-            ray_chunk=16384,
+            ray_chunk=4096,
         )
         label = "vault 50k rays x 128 refl, stereo LR IR"
     except Exception as e:  # pragma: no cover - transient backend failures

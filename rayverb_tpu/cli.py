@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(exact scan filters, raw impulse access)")
     p.add_argument("--stats", action="store_true",
                    help="print phase timings and throughput to stderr")
+    p.add_argument("--save-raw", metavar="FILE.npz", default=None,
+                   help="persist raw impulses so post-processing can be "
+                        "re-run without re-tracing (implies modular pipeline)")
+    p.add_argument("--from-raw", metavar="FILE.npz", default=None,
+                   help="skip the trace and post-process impulses saved "
+                        "with --save-raw")
     return p
 
 
@@ -108,8 +114,18 @@ def main(argv=None) -> int:
             args.pipeline == "fused"
             and config.filter != FilterType.WINDOWED_SINC
             and not args.dump_paths
+            and not args.save_raw
+            and not args.from_raw
         )
-        if use_fused:
+        if args.from_raw:
+            from .engine import load_raw
+            from .pipeline import render_from_raw
+
+            result = render_from_raw(
+                config, load_raw(args.from_raw), filter_method=args.filter_method
+            )
+            channels = result.channels
+        elif use_fused:
             from .ops.render import render_fused
 
             channels, _info = render_fused(
@@ -128,7 +144,7 @@ def main(argv=None) -> int:
             channels = result.channels
         t2 = _time.perf_counter()
 
-        if args.dump_paths and not use_fused:
+        if args.dump_paths and not use_fused and result.raytracer is not None:
             from .utils.diagnostics import dump_paths
 
             dump_paths(
@@ -137,6 +153,11 @@ def main(argv=None) -> int:
                 config.reflections,
                 result.raytracer.outputs,
             )
+
+        if args.save_raw and not args.from_raw:
+            from .engine import save_raw
+
+            save_raw(args.save_raw, result.raw)
 
         write_audio(
             args.output, channels, config.sample_rate, config.bit_depth

@@ -120,6 +120,30 @@ def assemble_population(outputs: TraceOutputs, mode, remove_direct: bool):
     return tuple(jnp.concatenate([p[i] for p in parts], axis=0) for i in range(3))
 
 
+def save_raw(path: str, results: RaytracerResults) -> None:
+    """Persist raw impulses to .npz so attenuation/filtering can be re-run
+    without re-tracing — the checkpoint/resume analog SURVEY.md §5 calls
+    for (the reference's nearest feature is getAllRaw's stage split)."""
+    np.savez_compressed(
+        path,
+        volume=np.asarray(results.volume, np.float32),
+        position=np.asarray(results.position, np.float32),
+        time=np.asarray(results.time, np.float32),
+        mic=np.asarray(results.mic, np.float32),
+    )
+
+
+def load_raw(path: str) -> RaytracerResults:
+    """Inverse of save_raw."""
+    with np.load(path) as z:
+        return RaytracerResults(
+            volume=z["volume"],
+            position=z["position"],
+            time=z["time"],
+            mic=z["mic"],
+        )
+
+
 class Raytracer:
     """Host orchestration mirroring the reference Raytracer
     (rayverb.h:136-220), minus the manual buffer management XLA makes

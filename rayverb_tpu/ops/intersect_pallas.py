@@ -158,9 +158,21 @@ def pack_triangles(soup) -> jax.Array:
 
 
 def should_use_pallas(num_rays: int, num_triangles: int) -> bool:
-    """Heuristic dispatch: the Pallas kernel wins when there is enough work
-    to fill tiles; tiny sweeps stay on the fused-XLA path."""
+    """Dispatch policy for impl='auto'.
+
+    Currently returns False: the fused-XLA sweep measures within noise of
+    this kernel on single sweeps (both >100 G pair-tests/s on v5e), and the
+    tunnel backend's remote Mosaic compiler rejects trace programs that
+    embed many kernel instances (one per bounce-phase sweep shape). The
+    kernel remains first-class via impl='pallas' (tested in interpret mode
+    on CPU and compiled on TPU); flip RAYVERB_FORCE_PALLAS=1 to opt in for
+    'auto'.
+    """
+    import os
+
     if jax.default_backend() not in ("tpu",):
+        return False
+    if not os.environ.get("RAYVERB_FORCE_PALLAS"):
         return False
     return num_rays * num_triangles >= 256 * 256
 

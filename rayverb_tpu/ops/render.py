@@ -29,6 +29,7 @@ Documented deviations from the reference (beyond those in trace.py):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -293,6 +294,7 @@ def _fused_chunk(
         "flips",
         "nfft",
         "do_normalize",
+        "filter_method",
     ),
 )
 def _finalize(
@@ -318,6 +320,7 @@ def _finalize(
     flips: tuple,
     nfft: int,
     do_normalize: bool,
+    filter_method: str = "fft",
 ):
     is_hrtf, nchannels = spec_static
     spec = AttenSpec(is_hrtf, nchannels, *spec_arrays)
@@ -382,6 +385,13 @@ def _finalize(
     # After every pass, samples at/after the content length are zeroed:
     # the reference's arrays END there, so each pass (notably the reversed
     # ones) must see exactly a content-length signal.
+    #
+    # filter_method='fft': each causal pass as a truncated FFT convolution
+    # with `responses` = (P, 8, nfft//2+1) complex64 frequency responses.
+    # filter_method='scan': exact sequential biquads (the reference's own
+    # arithmetic) with `responses` = (P, 8, 5) float32 coefficients —
+    # preferred on backends where huge FFT programs are fragile; ~1 s/pass
+    # at 400k samples since all C*8 lanes scan in parallel.
     out = hist
     t = out.shape[-1]
     in_content = (jnp.arange(t) < content_len).astype(out.dtype)
@@ -392,8 +402,15 @@ def _finalize(
             out = jnp.flip(out, axis=-1)
             nflips += 1
             flipped = not flipped
-        spec_f = jnp.fft.rfft(out, n=nfft)
-        out = jnp.fft.irfft(spec_f * responses[p], n=nfft)[..., :t]
+        if filter_method == "scan":
+            from .filters import biquad_onepass
+
+            out = jax.vmap(biquad_onepass, in_axes=(-2, 0), out_axes=-2)(
+                out, responses[p]
+            )
+        else:
+            spec_f = jnp.fft.rfft(out, n=nfft)
+            out = jnp.fft.irfft(spec_f * responses[p], n=nfft)[..., :t]
         cut = jnp.flip(in_content) if flipped else in_content
         out = out * cut
     if nflips % 2:
@@ -412,6 +429,45 @@ def _finalize(
     last = jnp.max(jnp.where(loud, positions, -1))
     trim_len = jnp.maximum(last, 0)
     return mixed.astype(jnp.float32), trim_len, content_len
+
+
+def finalize_filter_params(
+    filter_type, sample_rate: float, lo_cutoff: float, length: int,
+    method: str | None = None,
+):
+    """Host-side parameters for _finalize's filter section.
+
+    method None resolves to 'scan' on TPU backends (robust, exact
+    reference arithmetic) and 'fft' elsewhere (faster on CPU);
+    RAYVERB_FINALIZE_FILTER overrides. Returns (params, flips, nfft,
+    method)."""
+    if method is None:
+        method = os.environ.get("RAYVERB_FINALIZE_FILTER") or (
+            "scan" if jax.default_backend() == "tpu" else "fft"
+        )
+    passes = _band_coeffs(filter_type, sample_rate, lo_cutoff)
+    flips = tuple(bool(f) for _, f in passes)
+    if method == "scan":
+        params = jnp.asarray(
+            np.stack([c for c, _ in passes]).astype(np.float32)
+        )
+        nfft = 0
+    else:
+        nfft = _fft_len(length)
+        params = jnp.asarray(
+            np.stack(
+                [
+                    np.stack(
+                        [
+                            _biquad_response(cf, nfft).astype(np.complex64)
+                            for cf in coeffs
+                        ]
+                    )
+                    for coeffs, _ in passes
+                ]
+            )
+        )
+    return params, flips, nfft, method
 
 
 def histogram_length(scene, nreflections: int, sample_rate: float) -> int:
@@ -464,19 +520,10 @@ def render_fused(
     include_diffuse = config.output_mode in (OutputMode.ALL, OutputMode.DIFFUSE_ONLY)
     include_images = config.output_mode in (OutputMode.ALL, OutputMode.IMAGE_ONLY)
 
-    # filter responses (host-precomputed, single finalize compile)
-    passes = _band_coeffs(config.filter, config.sample_rate, config.hipass)
-    nfft = _fft_len(length)
-    responses = np.stack(
-        [
-            np.stack(
-                [_biquad_response(cf, nfft).astype(np.complex64) for cf in coeffs]
-            )
-            for coeffs, _ in passes
-        ]
+    # filter parameters (host-precomputed, single finalize compile)
+    filter_params, flips, nfft, filter_method = finalize_filter_params(
+        config.filter, config.sample_rate, config.hipass, length
     )
-    flips = tuple(bool(f) for _, f in passes)
-    responses_dev = jnp.asarray(responses)
 
     def call_finalize(hist, imgs, predelay):
         return _finalize(
@@ -484,7 +531,7 @@ def render_fused(
             *imgs,
             np.asarray(config.mic_position, np.float32),
             spec_arrays,
-            responses_dev,
+            filter_params,
             None if predelay is None else np.float32(predelay),
             np.float32(config.volume_scale),
             np.float32(config.sample_rate),
@@ -495,6 +542,7 @@ def render_fused(
             flips=flips,
             nfft=nfft,
             do_normalize=config.normalize,
+            filter_method=filter_method,
         )
 
     # Warm the finalize program BEFORE the chunk program: some tunneled
@@ -502,28 +550,35 @@ def render_fused(
     # compiling finalize first (and persisting both in the compilation
     # cache) sidesteps the order sensitivity.
     total_rays = padded
-    warm_imgs = (
-        jnp.zeros((total_rays, NUM_IMAGE_SOURCE, NUM_BANDS), jnp.float32),
-        jnp.zeros((total_rays, NUM_IMAGE_SOURCE, 3), jnp.float32),
-        jnp.zeros((total_rays, NUM_IMAGE_SOURCE), jnp.float32),
-        jnp.zeros((total_rays, NUM_IMAGE_SOURCE), jnp.int32),
-        jnp.zeros((total_rays, NUM_IMAGE_SOURCE), bool),
-        jnp.zeros((total_rays, NUM_IMAGE_SOURCE), jnp.uint32),
-        jnp.zeros((total_rays, NUM_IMAGE_SOURCE), jnp.uint32),
-    )
-    warm_hist = jnp.zeros((spec.nchannels, NUM_BANDS, length), jnp.float32)
-    try:
-        jax.block_until_ready(
-            call_finalize(
-                warm_hist,
-                warm_imgs,
-                np.float32(0.0) if config.trim_predelay else None,
+    if not os.environ.get("RAYVERB_NO_WARM_FINALIZE"):
+        try:
+            warm_imgs = (
+                jnp.zeros((total_rays, NUM_IMAGE_SOURCE, NUM_BANDS), jnp.float32),
+                jnp.zeros((total_rays, NUM_IMAGE_SOURCE, 3), jnp.float32),
+                jnp.zeros((total_rays, NUM_IMAGE_SOURCE), jnp.float32),
+                jnp.zeros((total_rays, NUM_IMAGE_SOURCE), jnp.int32),
+                jnp.zeros((total_rays, NUM_IMAGE_SOURCE), bool),
+                jnp.zeros((total_rays, NUM_IMAGE_SOURCE), jnp.uint32),
+                jnp.zeros((total_rays, NUM_IMAGE_SOURCE), jnp.uint32),
             )
-        )
-    except jax.errors.JaxRuntimeError:  # pragma: no cover - backend flake
-        pass  # the real call below will raise (or succeed) on its own
-    del warm_imgs, warm_hist
+            warm_hist = jnp.zeros(
+                (spec.nchannels, NUM_BANDS, length), jnp.float32
+            )
+            jax.block_until_ready(
+                call_finalize(
+                    warm_hist,
+                    warm_imgs,
+                    np.float32(0.0) if config.trim_predelay else None,
+                )
+            )
+            del warm_imgs, warm_hist
+        except jax.errors.JaxRuntimeError:  # pragma: no cover - backend flake
+            pass  # the real call below will raise (or succeed) on its own
 
+    # all inter-program glue runs as a handful of jitted helpers: op-by-op
+    # eager dispatch would compile dozens of single-op programs, and on
+    # flaky remote-compile backends every fresh compile is a failure
+    # opportunity
     hist = None
     img_parts = []
     max_t = 0.0
@@ -544,64 +599,42 @@ def render_fused(
             spec_static=spec_static,
             include_diffuse=include_diffuse,
         )
-        hist = out.hist if hist is None else hist + out.hist
-        img_parts.append(out)
+        hist = out.hist if hist is None else _hist_accumulate(hist, out.hist)
+        img_parts.append(
+            (
+                out.img_volume,
+                out.img_position,
+                out.img_time,
+                out.img_slot,
+                out.img_valid,
+                out.img_h1,
+                out.img_h2,
+            )
+        )
         max_t = max(max_t, float(out.max_time))
-        mt = float(out.min_time)
-        min_t = min(min_t, mt)
+        min_t = min(min_t, float(out.min_time))
+        del out
 
-    def cat(field):
-        if nchunks == 1:
-            return getattr(img_parts[0], field)
-        return jnp.concatenate([getattr(p, field) for p in img_parts], axis=0)
-
-    img_volume = cat("img_volume")
-    img_position = cat("img_position")
-    img_time = cat("img_time")
-    img_slot = cat("img_slot")
-    img_valid = cat("img_valid")
-    img_h1 = cat("img_h1")
-    img_h2 = cat("img_h2")
+    imgs = img_parts[0] if nchunks == 1 else _concat_images(tuple(img_parts))
 
     # direct-path + image times participate in predelay like the reference's
     # findPredelay over attenuated impulses (rayverb.h:49-73)
     if include_images:
-        it = np.asarray(
-            jnp.min(
-                jnp.where(
-                    img_valid & (img_time > 0) & jnp.any(img_volume != 0, -1),
-                    img_time,
-                    jnp.inf,
-                )
-            )
-        )
-        min_t = min(min_t, float(it))
-        max_img = float(
-            jnp.max(jnp.where(img_valid, img_time, 0.0))
-        )
-        max_t = max(max_t, max_img)
+        img_min, img_max = _image_time_stats(imgs[4], imgs[2], imgs[0])
+        min_t = min(min_t, float(img_min))
+        max_t = max(max_t, float(img_max))
 
     predelay = None
     if config.trim_predelay and np.isfinite(min_t):
         predelay = float(min_t)
 
-    mixed, trim_len, content_len = call_finalize(
-        hist,
-        (
-            img_volume,
-            img_position,
-            img_time,
-            img_slot,
-            img_valid,
-            img_h1,
-            img_h2,
-        ),
-        predelay,
-    )
+    mixed, trim_len, content_len = call_finalize(hist, imgs, predelay)
 
     content = int(content_len)
     out_len = min(int(trim_len), content) if config.trim_tail else content
-    channels = np.asarray(mixed[..., :max(out_len, 1)])[:, :out_len]
+    # one full pull, sliced host-side: device slicing would compile a new
+    # program per distinct output length
+    channels = np.asarray(mixed)[:, : max(out_len, 1)][:, :out_len]
     return channels, {
         "predelay": predelay or 0.0,
         "histogram_length": length,
@@ -609,3 +642,28 @@ def render_fused(
         "trim_length": int(trim_len),
         "max_diffuse_time": max_t,
     }
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _hist_accumulate(acc, contribution):
+    return acc + contribution
+
+
+@jax.jit
+def _concat_images(parts):
+    """Concatenate per-chunk image-record tuples along the ray axis in one
+    program."""
+    fields = len(parts[0])
+    return tuple(
+        jnp.concatenate([p[i] for p in parts], axis=0) for i in range(fields)
+    )
+
+
+@jax.jit
+def _image_time_stats(img_valid, img_time, img_volume):
+    """(earliest nonzero-volume image time, latest valid image time)."""
+    ok = img_valid & (img_time > 0) & jnp.any(img_volume != 0, axis=-1)
+    return (
+        jnp.min(jnp.where(ok, img_time, jnp.inf)),
+        jnp.max(jnp.where(img_valid, img_time, 0.0)),
+    )

@@ -23,11 +23,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config.schema import FilterType, RenderConfig
 from ..ops.render import (
-    _band_coeffs,
-    _biquad_response,
-    _fft_len,
     _finalize,
     _fused_chunk,
+    finalize_filter_params,
     histogram_length,
     make_atten_spec,
 )
@@ -66,22 +64,9 @@ def render_irs_batched(
     directions = jnp.asarray(directions, jnp.float32)
     b, n = directions.shape[0], directions.shape[1]
 
-    passes = _band_coeffs(config.filter, config.sample_rate, config.hipass)
-    nfft = _fft_len(length)
-    responses = jnp.asarray(
-        np.stack(
-            [
-                np.stack(
-                    [
-                        _biquad_response(cf, nfft).astype(np.complex64)
-                        for cf in coeffs
-                    ]
-                )
-                for coeffs, _ in passes
-            ]
-        )
+    filter_params, flips, nfft, filter_method = finalize_filter_params(
+        config.filter, config.sample_rate, config.hipass, length
     )
-    flips = tuple(bool(f) for _, f in passes)
 
     def one_pair(mic, source, dirs):
         out = _fused_chunk(
@@ -109,7 +94,7 @@ def render_irs_batched(
             out.img_h2,
             mic,
             spec_arrays,
-            responses,
+            filter_params,
             None,
             jnp.float32(config.volume_scale),
             jnp.float32(config.sample_rate),
@@ -120,6 +105,7 @@ def render_irs_batched(
             flips=flips,
             nfft=nfft,
             do_normalize=config.normalize,
+            filter_method=filter_method,
         )
         return mixed, content
 

@@ -66,10 +66,8 @@ def render_fused_sharded(
     Shards rays over all visible devices, reduces over ICI, finalizes once.
     """
     from ..ops.render import (
-        _band_coeffs,
-        _biquad_response,
-        _fft_len,
         _finalize,
+        finalize_filter_params,
         histogram_length,
         make_atten_spec,
     )
@@ -171,17 +169,9 @@ def render_fused_sharded(
         else None
     )
 
-    passes = _band_coeffs(config.filter, config.sample_rate, config.hipass)
-    nfft = _fft_len(length)
-    responses = np.stack(
-        [
-            np.stack(
-                [_biquad_response(cf, nfft).astype(np.complex64) for cf in coeffs]
-            )
-            for coeffs, _ in passes
-        ]
+    filter_params, flips, nfft, filter_method = finalize_filter_params(
+        config.filter, config.sample_rate, config.hipass, length
     )
-    flips = tuple(bool(f) for _, f in passes)
 
     mixed, trim_len, content_len = _finalize(
         hist,
@@ -194,7 +184,7 @@ def render_fused_sharded(
         img_h2,
         np.asarray(config.mic_position, np.float32),
         spec_arrays,
-        jnp.asarray(responses),
+        filter_params,
         None if predelay is None else np.float32(predelay),
         np.float32(config.volume_scale),
         np.float32(config.sample_rate),
@@ -205,6 +195,7 @@ def render_fused_sharded(
         flips=flips,
         nfft=nfft,
         do_normalize=config.normalize,
+        filter_method=filter_method,
     )
     content = int(content_len)
     out_len = min(int(trim_len), content) if config.trim_tail else content

@@ -29,7 +29,7 @@ class RenderResult:
     raw: RaytracerResults      # the selected impulse population
     attenuated_times: np.ndarray
     predelay: float
-    raytracer: Raytracer       # retains TraceOutputs for diagnostics
+    raytracer: Raytracer | None  # retains TraceOutputs for diagnostics
 
 
 def select_results(raytracer: Raytracer, config: RenderConfig) -> RaytracerResults:
@@ -39,6 +39,43 @@ def select_results(raytracer: Raytracer, config: RenderConfig) -> RaytracerResul
     if config.output_mode == OutputMode.IMAGE_ONLY:
         return raytracer.get_raw_images(config.remove_direct)
     return raytracer.get_raw_diffuse()
+
+
+def render_from_raw(
+    config: RenderConfig,
+    results: RaytracerResults,
+    *,
+    hrtf_table=None,
+    filter_method: str = "scan",
+) -> RenderResult:
+    """Re-run attenuation + post-processing on persisted raw impulses
+    (engine.load_raw) without re-tracing."""
+    if results.num_impulses == 0:
+        raise RuntimeError("No raytrace results returned.")
+    volumes, times = attenuate(results, config.attenuation_model, hrtf_table)
+    predelay = 0.0
+    if config.trim_predelay:
+        predelay = find_predelay(times)
+        times = fix_predelay(times, predelay)
+    bands = flatten_channels(volumes, times, config.sample_rate)
+    channels = process(
+        bands,
+        config.sample_rate,
+        filter_type=config.filter,
+        lo_cutoff=config.hipass,
+        do_normalize=config.normalize,
+        volume_scale=config.volume_scale,
+        do_trim_tail=config.trim_tail,
+        filter_method=filter_method,
+    )
+    return RenderResult(
+        channels=channels,
+        sample_rate=config.sample_rate,
+        raw=results,
+        attenuated_times=np.asarray(times),
+        predelay=predelay,
+        raytracer=None,
+    )
 
 
 def render(

@@ -80,6 +80,21 @@ def test_linkwitz_riley(box):
     compare(make_config(filter="linkwitz_riley"), box)
 
 
+def test_finalize_scan_filter_matches(box, monkeypatch):
+    """The scan filter path inside _finalize (TPU default) matches the FFT
+    path to float32 noise."""
+    cfg = make_config(filter="linkwitz_riley")
+    dirs = random_directions(cfg.rays, seed=cfg.seed)
+    fft_out, _ = render_fused(box, cfg, dirs)
+    monkeypatch.setenv("RAYVERB_FINALIZE_FILTER", "scan")
+    scan_out, _ = render_fused(box, cfg, dirs)
+    n = min(fft_out.shape[-1], scan_out.shape[-1])
+    scale = np.abs(fft_out).max() + 1e-9
+    np.testing.assert_allclose(
+        fft_out[:, :n] / scale, scan_out[:, :n] / scale, atol=2e-4
+    )
+
+
 def test_trim_tail(box):
     cfg = make_config(trim_tail=True)
     dirs = random_directions(cfg.rays, seed=cfg.seed)
