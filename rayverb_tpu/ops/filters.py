@@ -153,12 +153,17 @@ def linkwitz_riley_coeffs(lo: float, hi: float, sr: float):
 # biquad application
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def biquad_onepass(data, coeffs):
+@partial(jax.jit, static_argnames=("reverse",))
+def biquad_onepass(data, coeffs, *, reverse: bool = False):
     """Direct-form II transposed scan (Biquad::onepass, filters.cpp:156-168).
     data: (..., T); coeffs: (5,) [b0, b1, b2, a1, a2]. The reference keeps
     double-precision state; the scan state here is float32 (TPU-native),
-    validated against scipy to ~1e-4."""
+    validated against scipy to ~1e-4.
+
+    reverse=True runs the filter back-to-front via lax.scan(reverse=True) —
+    equivalent to flip/filter/flip but without materialising reversed
+    arrays (jnp.flip between scans also miscompiles on some TPU backends).
+    """
     data = jnp.asarray(data, jnp.float32)
     b0, b1, b2, a1, a2 = [c.astype(jnp.float32) for c in jnp.asarray(coeffs)]
 
@@ -170,7 +175,9 @@ def biquad_onepass(data, coeffs):
         return (z1_new, z2_new), out
 
     zeros = jnp.zeros(data.shape[:-1], jnp.float32)
-    _, out = jax.lax.scan(step, (zeros, zeros), jnp.moveaxis(data, -1, 0))
+    _, out = jax.lax.scan(
+        step, (zeros, zeros), jnp.moveaxis(data, -1, 0), reverse=reverse
+    )
     return jnp.moveaxis(out, 0, -1)
 
 
@@ -222,8 +229,24 @@ def fft_biquad_twopass(data, coeffs):
 # the public bank (RayverbFiltering::filter, filters.cpp:268-306)
 # ---------------------------------------------------------------------------
 
-def band_edges(lo_cutoff: float):
-    return (float(lo_cutoff),) + FILTER_EDGES_UPPER
+def band_edges(lo_cutoff: float, sample_rate: float | None = None):
+    """Crossover edges {lo_cutoff, 175, ..., 20000} (filters.cpp:297-298).
+
+    When a sample rate is given, edges are clamped below Nyquist while
+    kept strictly increasing. The reference computes biquad coefficients
+    for edges above Nyquist verbatim, which yields poles OUTSIDE the unit
+    circle (e.g. Linkwitz-Riley band 7 at 16 kHz diverges to NaN); since
+    no demo config renders below 44.1 kHz the bug was latent there. The
+    clamp is a documented deviation that makes low-rate renders valid.
+    """
+    edges = [float(lo_cutoff)] + list(FILTER_EDGES_UPPER)
+    if sample_rate is not None:
+        cap = 0.49 * float(sample_rate)
+        edges = [min(e, cap) for e in edges]
+        for i in range(len(edges) - 1, 0, -1):
+            if edges[i] <= edges[i - 1]:
+                edges[i - 1] = edges[i] / 1.2
+    return tuple(edges)
 
 
 # Single-compile applicators: per-band coefficients are stacked on the host
@@ -304,7 +327,7 @@ def _fir_bank(data, kernels):
 def _band_coeffs(filter_type: FilterType, sample_rate: float, lo_cutoff: float):
     """Host-side coefficient stacks: list of ((8, 5) array, flip_before)
     passes replaying the reference's per-band filter sequence."""
-    edges = band_edges(lo_cutoff)
+    edges = band_edges(lo_cutoff, sample_rate)
     per_band = [
         (edges[i], edges[i + 1]) for i in range(8)
     ]
@@ -346,7 +369,7 @@ def filter_bank(
     """
     data = jnp.asarray(data, jnp.float32)
     if filter_type == FilterType.WINDOWED_SINC:
-        edges = band_edges(lo_cutoff)
+        edges = band_edges(lo_cutoff, sample_rate)
         kernels = np.stack(
             [
                 bandpass_sinc_kernel(sample_rate, edges[i], edges[i + 1])

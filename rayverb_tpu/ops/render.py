@@ -162,13 +162,15 @@ def make_atten_spec(model, table=None) -> AttenSpec:
 
 def _attenuate_and_bin(
     mic, volumes, positions, times, spec: AttenSpec, length: int,
-    sample_rate, predelay, weight=None,
+    sample_rate, predelay, weight=None, init_hist=None,
 ):
-    """(M, 8) impulses -> (C, 8, length) histogram contribution, fused
-    attenuation + scatter (flattenImpulses, rayverb.cpp:48-77).
+    """(M, 8) impulses -> (C, 8, length) histogram, fused attenuation +
+    scatter (flattenImpulses, rayverb.cpp:48-77).
 
     `weight` (M,) optionally masks rows (image dedup selection). Zero-volume
     impulses contribute nothing, matching the skip in kernel.cpp:524,607.
+    `init_hist` accumulates into an existing histogram (the cross-chunk
+    carry) instead of zeros.
     """
     nonzero = jnp.any(volumes != 0, axis=-1)
     if weight is not None:
@@ -196,7 +198,11 @@ def _attenuate_and_bin(
         idx = jnp.floor(t_c * sample_rate + 0.5).astype(jnp.int32)
         idx = jnp.where(nonzero, idx, length)  # out of range -> dropped
         vol_c = jnp.where(nonzero[:, None], vol_c, 0.0)
-        hist = jnp.zeros((NUM_BANDS, length), jnp.float32)
+        hist = (
+            jnp.zeros((NUM_BANDS, length), jnp.float32)
+            if init_hist is None
+            else init_hist[c]
+        )
         hists.append(hist.at[:, idx].add(vol_c.T, mode="drop"))
     return jnp.stack(hists)
 
@@ -214,27 +220,24 @@ class ChunkOut(NamedTuple):
     min_time: jax.Array      # () earliest non-zero diffuse time (predelay)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("nreflections", "length", "impl", "spec_static", "include_diffuse"),
-)
-def _fused_chunk(
-    soup: TriangleSoup,
+def _chunk_core(
+    soup,
     mic,
     source,
     directions,
     nvalid,
-    spec_arrays,
+    spec: AttenSpec,
     *,
     nreflections: int,
     length: int,
     sample_rate,
     impl: str,
-    spec_static,
     include_diffuse: bool,
+    init_hist=None,
 ) -> ChunkOut:
-    is_hrtf, nchannels = spec_static
-    spec = AttenSpec(is_hrtf, nchannels, *spec_arrays)
+    """Trace one ray chunk and bin its diffuse contribution (accumulating
+    into `init_hist` when given). Shared by the jitted single-chunk entry
+    and the whole-render lax.scan."""
     mic = jnp.asarray(mic, jnp.float32)
     source = jnp.asarray(source, jnp.float32)
 
@@ -253,10 +256,13 @@ def _fused_chunk(
         pos = out.diffuse_position.reshape(n * r, 3)
         tim = out.diffuse_time.reshape(n * r)
         hist = _attenuate_and_bin(
-            mic, vol, pos, tim, spec, length, sample_rate, predelay=None
+            mic, vol, pos, tim, spec, length, sample_rate,
+            predelay=None, init_hist=init_hist,
         )
+    elif init_hist is not None:
+        hist = init_hist
     else:
-        hist = jnp.zeros((nchannels, NUM_BANDS, length), jnp.float32)
+        hist = jnp.zeros((spec.nchannels, NUM_BANDS, length), jnp.float32)
 
     h1, h2 = chain_hashes(out.image_index)
     slots = jnp.broadcast_to(
@@ -286,17 +292,118 @@ def _fused_chunk(
 
 @partial(
     jax.jit,
-    static_argnames=(
-        "length",
-        "spec_static",
-        "include_images",
-        "remove_direct",
-        "flips",
-        "nfft",
-        "do_normalize",
-        "filter_method",
-    ),
+    static_argnames=("nreflections", "length", "impl", "spec_static", "include_diffuse"),
 )
+def _fused_chunk(
+    soup: TriangleSoup,
+    mic,
+    source,
+    directions,
+    nvalid,
+    spec_arrays,
+    *,
+    nreflections: int,
+    length: int,
+    sample_rate,
+    impl: str,
+    spec_static,
+    include_diffuse: bool,
+) -> ChunkOut:
+    is_hrtf, nchannels = spec_static
+    spec = AttenSpec(is_hrtf, nchannels, *spec_arrays)
+    return _chunk_core(
+        soup,
+        mic,
+        source,
+        directions,
+        nvalid,
+        spec,
+        nreflections=nreflections,
+        length=length,
+        sample_rate=sample_rate,
+        impl=impl,
+        include_diffuse=include_diffuse,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nreflections", "length", "impl", "spec_static", "include_diffuse"),
+)
+def _fused_trace_all(
+    soup: TriangleSoup,
+    mic,
+    source,
+    directions,   # (K, chunk, 3)
+    nvalid,       # (K,) int32
+    spec_arrays,
+    *,
+    nreflections: int,
+    length: int,
+    sample_rate,
+    impl: str,
+    spec_static,
+    include_diffuse: bool,
+):
+    """The whole multi-chunk trace+bin phase as ONE compiled program:
+    lax.scan over ray chunks carrying the energy histogram and time
+    bounds. On tunneled backends this collapses ~3 dispatches + 2 scalar
+    pulls per chunk into a single dispatch for the entire trace.
+
+    Returns (hist (C,8,L), max_t, min_t, img tuple flattened over rays).
+    """
+    is_hrtf, nchannels = spec_static
+    spec = AttenSpec(is_hrtf, nchannels, *spec_arrays)
+    k, chunk, _ = directions.shape
+
+    def body(carry, xs):
+        hist, mx, mn = carry
+        dirs, nv = xs
+        out = _chunk_core(
+            soup,
+            mic,
+            source,
+            dirs,
+            nv,
+            spec,
+            nreflections=nreflections,
+            length=length,
+            sample_rate=sample_rate,
+            impl=impl,
+            include_diffuse=include_diffuse,
+            init_hist=hist,
+        )
+        carry = (
+            out.hist,
+            jnp.maximum(mx, out.max_time),
+            jnp.minimum(mn, out.min_time),
+        )
+        ys = (
+            out.img_volume,
+            out.img_position,
+            out.img_time,
+            out.img_slot,
+            out.img_valid,
+            out.img_h1,
+            out.img_h2,
+        )
+        return carry, ys
+
+    carry0 = (
+        jnp.zeros((nchannels, NUM_BANDS, length), jnp.float32),
+        jnp.float32(0.0),
+        jnp.float32(jnp.inf),
+    )
+    (hist, max_t, min_t), ys = jax.lax.scan(
+        body, carry0, (directions, nvalid)
+    )
+    s = NUM_IMAGE_SOURCE
+    imgs = tuple(
+        y.reshape((k * chunk, s) + y.shape[3:]) for y in ys
+    )
+    return hist, max_t, min_t, imgs
+
+
 def _finalize(
     hist,
     img_volume,
@@ -321,6 +428,70 @@ def _finalize(
     nfft: int,
     do_normalize: bool,
     filter_method: str = "fft",
+):
+    """Finalize = two compiled programs: (1) image dedup + binning +
+    predelay shift + content length; (2) crossover filtering + mixdown +
+    normalise + trim. Split deliberately: the monolithic program (sort +
+    scatter + long scans + FFTs in one body) miscompiles on some TPU
+    backends."""
+    hist, content_len = _finalize_hist(
+        hist,
+        img_volume,
+        img_position,
+        img_time,
+        img_slot,
+        img_valid,
+        img_h1,
+        img_h2,
+        mic,
+        spec_arrays,
+        predelay,
+        sample_rate,
+        length=length,
+        spec_static=spec_static,
+        include_images=include_images,
+        remove_direct=remove_direct,
+    )
+    mixed, trim_len = _finalize_filter(
+        hist,
+        content_len,
+        responses,
+        volume_scale,
+        flips=flips,
+        nfft=nfft,
+        do_normalize=do_normalize,
+        filter_method=filter_method,
+    )
+    return mixed, trim_len, content_len
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "length",
+        "spec_static",
+        "include_images",
+        "remove_direct",
+    ),
+)
+def _finalize_hist(
+    hist,
+    img_volume,
+    img_position,
+    img_time,
+    img_slot,
+    img_valid,
+    img_h1,
+    img_h2,
+    mic,
+    spec_arrays,
+    predelay,
+    sample_rate,
+    *,
+    length: int,
+    spec_static,
+    include_images: bool,
+    remove_direct: bool,
 ):
     is_hrtf, nchannels = spec_static
     spec = AttenSpec(is_hrtf, nchannels, *spec_arrays)
@@ -380,7 +551,24 @@ def _finalize(
     content_len = (
         jnp.max(jnp.where(occupied, jnp.arange(length), -1)) + 1
     )
+    return hist, content_len
 
+
+@partial(
+    jax.jit,
+    static_argnames=("flips", "nfft", "do_normalize", "filter_method"),
+)
+def _finalize_filter(
+    hist,
+    content_len,
+    responses,
+    volume_scale,
+    *,
+    flips: tuple,
+    nfft: int,
+    do_normalize: bool,
+    filter_method: str,
+):
     # crossover filter bank + mixdown (process, rayverb.cpp:125-149).
     # After every pass, samples at/after the content length are zeroed:
     # the reference's arrays END there, so each pass (notably the reversed
@@ -395,26 +583,35 @@ def _finalize(
     out = hist
     t = out.shape[-1]
     in_content = (jnp.arange(t) < content_len).astype(out.dtype)
-    nflips = 0
-    flipped = False
-    for p, do_flip in enumerate(flips):
-        if do_flip:
-            out = jnp.flip(out, axis=-1)
-            nflips += 1
-            flipped = not flipped
-        if filter_method == "scan":
-            from .filters import biquad_onepass
+    if filter_method == "scan":
+        from .filters import biquad_onepass
 
-            out = jax.vmap(biquad_onepass, in_axes=(-2, 0), out_axes=-2)(
+        # reversed passes run as reverse-direction scans; the array never
+        # flips (scan -> mask -> jnp.flip -> scan chains miscompile to
+        # zeros on the axon TPU backend — verified empirically). The pass
+        # direction is the cumulative parity of the reference's reversals.
+        orientation = False
+        for p, do_flip in enumerate(flips):
+            orientation ^= do_flip
+            run = partial(biquad_onepass, reverse=orientation)
+            out = jax.vmap(run, in_axes=(-2, 0), out_axes=-2)(
                 out, responses[p]
             )
-        else:
+            out = out * in_content
+    else:
+        nflips = 0
+        flipped = False
+        for p, do_flip in enumerate(flips):
+            if do_flip:
+                out = jnp.flip(out, axis=-1)
+                nflips += 1
+                flipped = not flipped
             spec_f = jnp.fft.rfft(out, n=nfft)
             out = jnp.fft.irfft(spec_f * responses[p], n=nfft)[..., :t]
-        cut = jnp.flip(in_content) if flipped else in_content
-        out = out * cut
-    if nflips % 2:
-        out = jnp.flip(out, axis=-1)
+            cut = jnp.flip(in_content) if flipped else in_content
+            out = out * cut
+        if nflips % 2:
+            out = jnp.flip(out, axis=-1)
     mixed = jnp.sum(out, axis=-2)  # (C, L)
 
     if do_normalize:
@@ -428,7 +625,7 @@ def _finalize(
     loud = (jnp.abs(mixed) >= TRIM_TAIL_FLOOR) & (positions < content_len)
     last = jnp.max(jnp.where(loud, positions, -1))
     trim_len = jnp.maximum(last, 0)
-    return mixed.astype(jnp.float32), trim_len, content_len
+    return mixed.astype(jnp.float32), trim_len
 
 
 def finalize_filter_params(
@@ -520,102 +717,33 @@ def render_fused(
     include_diffuse = config.output_mode in (OutputMode.ALL, OutputMode.DIFFUSE_ONLY)
     include_images = config.output_mode in (OutputMode.ALL, OutputMode.IMAGE_ONLY)
 
-    # filter parameters (host-precomputed, single finalize compile)
+    # filter parameters (host-precomputed, single finalize compile);
+    # recomputed below when the content bucket is smaller than the bound
     filter_params, flips, nfft, filter_method = finalize_filter_params(
         config.filter, config.sample_rate, config.hipass, length
     )
 
-    def call_finalize(hist, imgs, predelay):
-        return _finalize(
-            hist,
-            *imgs,
-            np.asarray(config.mic_position, np.float32),
-            spec_arrays,
-            filter_params,
-            None if predelay is None else np.float32(predelay),
-            np.float32(config.volume_scale),
-            np.float32(config.sample_rate),
-            length=length,
-            spec_static=spec_static,
-            include_images=include_images,
-            remove_direct=config.remove_direct,
-            flips=flips,
-            nfft=nfft,
-            do_normalize=config.normalize,
-            filter_method=filter_method,
-        )
-
-    # Warm the finalize program BEFORE the chunk program: some tunneled
-    # backends reject whichever large program compiles second in a process;
-    # compiling finalize first (and persisting both in the compilation
-    # cache) sidesteps the order sensitivity.
-    total_rays = padded
-    if not os.environ.get("RAYVERB_NO_WARM_FINALIZE"):
-        try:
-            warm_imgs = (
-                jnp.zeros((total_rays, NUM_IMAGE_SOURCE, NUM_BANDS), jnp.float32),
-                jnp.zeros((total_rays, NUM_IMAGE_SOURCE, 3), jnp.float32),
-                jnp.zeros((total_rays, NUM_IMAGE_SOURCE), jnp.float32),
-                jnp.zeros((total_rays, NUM_IMAGE_SOURCE), jnp.int32),
-                jnp.zeros((total_rays, NUM_IMAGE_SOURCE), bool),
-                jnp.zeros((total_rays, NUM_IMAGE_SOURCE), jnp.uint32),
-                jnp.zeros((total_rays, NUM_IMAGE_SOURCE), jnp.uint32),
-            )
-            warm_hist = jnp.zeros(
-                (spec.nchannels, NUM_BANDS, length), jnp.float32
-            )
-            jax.block_until_ready(
-                call_finalize(
-                    warm_hist,
-                    warm_imgs,
-                    np.float32(0.0) if config.trim_predelay else None,
-                )
-            )
-            del warm_imgs, warm_hist
-        except jax.errors.JaxRuntimeError:  # pragma: no cover - backend flake
-            pass  # the real call below will raise (or succeed) on its own
-
-    # all inter-program glue runs as a handful of jitted helpers: op-by-op
-    # eager dispatch would compile dozens of single-op programs, and on
-    # flaky remote-compile backends every fresh compile is a failure
-    # opportunity
-    hist = None
-    img_parts = []
-    max_t = 0.0
-    min_t = np.inf
-    for c in range(nchunks):
-        nvalid = np.int32(min(chunk, max(0, n - c * chunk)))
-        out = _fused_chunk(
-            soup,
-            config.mic_position,
-            config.source_position,
-            directions[c * chunk : (c + 1) * chunk],
-            nvalid,
-            spec_arrays,
-            nreflections=config.reflections,
-            length=length,
-            sample_rate=config.sample_rate,
-            impl=impl,
-            spec_static=spec_static,
-            include_diffuse=include_diffuse,
-        )
-        hist = out.hist if hist is None else _hist_accumulate(hist, out.hist)
-        img_parts.append(
-            (
-                out.img_volume,
-                out.img_position,
-                out.img_time,
-                out.img_slot,
-                out.img_valid,
-                out.img_h1,
-                out.img_h2,
-            )
-        )
-        max_t = max(max_t, float(out.max_time))
-        min_t = min(min_t, float(out.min_time))
-        del out
-
-    imgs = img_parts[0] if nchunks == 1 else _concat_images(tuple(img_parts))
+    # the entire trace+bin phase is ONE compiled program (lax.scan over
+    # chunks); only two time-bound scalars come back before finalize
+    counts = np.minimum(
+        np.maximum(n - np.arange(nchunks) * chunk, 0), chunk
+    ).astype(np.int32)
+    hist, max_t_dev, min_t_dev, imgs = _fused_trace_all(
+        soup,
+        config.mic_position,
+        config.source_position,
+        directions.reshape(nchunks, chunk, 3),
+        counts,
+        spec_arrays,
+        nreflections=config.reflections,
+        length=length,
+        sample_rate=config.sample_rate,
+        impl=impl,
+        spec_static=spec_static,
+        include_diffuse=include_diffuse,
+    )
+    max_t = float(max_t_dev)
+    min_t = float(min_t_dev)
 
     # direct-path + image times participate in predelay like the reference's
     # findPredelay over attenuated impulses (rayverb.h:49-73)
@@ -628,7 +756,39 @@ def render_fused(
     if config.trim_predelay and np.isfinite(min_t):
         predelay = float(min_t)
 
-    mixed, trim_len, content_len = call_finalize(hist, imgs, predelay)
+    # finalize over a power-of-two bucket that covers the actual content
+    # rather than the conservative scene bound: the filter scans cost O(L)
+    bucket = length
+    if max_t > 0:
+        need = int(
+            np.floor((max_t + 0.1 * SECONDS_PER_METER) * config.sample_rate + 0.5)
+        ) + 8
+        bucket = min(length, max(4096, 1 << (need - 1).bit_length()))
+    if bucket < length:
+        hist = _slice_hist(hist, bucket=bucket)
+        filter_params, flips, nfft, filter_method = finalize_filter_params(
+            config.filter, config.sample_rate, config.hipass, bucket
+        )
+    eff_length = bucket
+
+    mixed, trim_len, content_len = _finalize(
+        hist,
+        *imgs,
+        np.asarray(config.mic_position, np.float32),
+        spec_arrays,
+        filter_params,
+        None if predelay is None else np.float32(predelay),
+        np.float32(config.volume_scale),
+        np.float32(config.sample_rate),
+        length=eff_length,
+        spec_static=spec_static,
+        include_images=include_images,
+        remove_direct=config.remove_direct,
+        flips=flips,
+        nfft=nfft,
+        do_normalize=config.normalize,
+        filter_method=filter_method,
+    )
 
     content = int(content_len)
     out_len = min(int(trim_len), content) if config.trim_tail else content
@@ -644,19 +804,9 @@ def render_fused(
     }
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _hist_accumulate(acc, contribution):
-    return acc + contribution
-
-
-@jax.jit
-def _concat_images(parts):
-    """Concatenate per-chunk image-record tuples along the ray axis in one
-    program."""
-    fields = len(parts[0])
-    return tuple(
-        jnp.concatenate([p[i] for p in parts], axis=0) for i in range(fields)
-    )
+@partial(jax.jit, static_argnames=("bucket",))
+def _slice_hist(hist, *, bucket: int):
+    return hist[..., :bucket]
 
 
 @jax.jit
