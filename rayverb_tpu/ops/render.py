@@ -54,6 +54,11 @@ enable_compilation_cache()
 
 MAX_HIST_LEN = 1 << 23  # ~190 s at 44.1 kHz; hard cap on the static bound
 
+# Ray populations up to this size trace as ONE single-pass program (full-
+# width sweeps, rows binned in place); larger populations fall back to the
+# chunked multi-dispatch path to bound per-program working set.
+RAY_PROGRAM_LIMIT = 1 << 16
+
 
 # ---------------------------------------------------------------------------
 # chain hashing (device-side identity for the dedup map keys)
@@ -324,6 +329,78 @@ def _fused_chunk(
         impl=impl,
         include_diffuse=include_diffuse,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nreflections", "length", "impl", "spec_static", "include_diffuse"),
+)
+def _fused_trace_bin(
+    soup: TriangleSoup,
+    mic,
+    source,
+    directions,   # (N, 3) — ALL rays, no chunking
+    nvalid,       # () int32
+    spec_arrays,
+    *,
+    nreflections: int,
+    length: int,
+    sample_rate,
+    impl: str,
+    spec_static,
+    include_diffuse: bool,
+):
+    """Single-pass fused trace: every diffuse bounce row is scattered into
+    the carried (C, 8, L) histogram the moment it is produced, so the
+    (N, R) impulse arrays never exist and every closest-hit sweep covers
+    the FULL ray population (per-sweep kernel-launch overhead, ~1 ms on
+    tunneled v5e, amortises over all rays instead of one 4096-ray chunk).
+    """
+    from .trace import _trace_impl
+
+    is_hrtf, nchannels = spec_static
+    spec = AttenSpec(is_hrtf, nchannels, *spec_arrays)
+    mic32 = jnp.asarray(mic, jnp.float32)
+    n = directions.shape[0]
+    ray_ok = jnp.arange(n) < nvalid
+
+    def consume(aux, row):
+        hist, mx, mn = aux
+        vol, pos, tim = row
+        vol = jnp.where(ray_ok[:, None], vol, 0.0)
+        if include_diffuse:
+            hist = _attenuate_and_bin(
+                mic32, vol, pos, tim, spec, length, sample_rate,
+                predelay=None, init_hist=hist,
+            )
+        nz = jnp.any(vol != 0, axis=-1)
+        mx = jnp.maximum(mx, jnp.max(jnp.where(nz, tim, 0.0)))
+        mn = jnp.minimum(mn, jnp.min(jnp.where(nz & (tim > 0), tim, jnp.inf)))
+        return hist, mx, mn
+
+    aux0 = (
+        jnp.zeros((nchannels, NUM_BANDS, length), jnp.float32),
+        jnp.float32(0.0),
+        jnp.float32(jnp.inf),
+    )
+    (hist, max_t, min_t), images = _trace_impl(
+        soup,
+        mic,
+        source,
+        directions,
+        nreflections=nreflections,
+        impl=impl,
+        consume_row=consume,
+        aux0=aux0,
+    )
+    img_vol, img_pos, img_time, img_idx = images
+    h1, h2 = chain_hashes(img_idx)
+    slots = jnp.broadcast_to(
+        jnp.arange(NUM_IMAGE_SOURCE, dtype=jnp.int32)[None, :], img_idx.shape
+    )
+    valid = ((slots == 0) | (img_idx != 0)) & ray_ok[:, None]
+    imgs = (img_vol, img_pos, img_time, slots, valid, h1, h2)
+    return hist, max_t, min_t, imgs
 
 
 @partial(
@@ -706,9 +783,13 @@ def render_fused(
 
     directions = np.asarray(directions, dtype=np.float32)
     n = directions.shape[0]
-    nchunks = max(1, -(-n // ray_chunk))
-    chunk = ray_chunk if n > ray_chunk else n
-    padded = nchunks * chunk
+    if n <= RAY_PROGRAM_LIMIT:
+        nchunks, chunk = 1, n
+        padded = -(-n // 512) * 512  # lane-friendly
+    else:
+        nchunks = max(1, -(-n // ray_chunk))
+        chunk = ray_chunk
+        padded = nchunks * chunk
     if padded != n:
         pad = np.zeros((padded - n, 3), dtype=np.float32)
         pad[:, 2] = 1.0
@@ -723,25 +804,43 @@ def render_fused(
         config.filter, config.sample_rate, config.hipass, length
     )
 
-    # the entire trace+bin phase is ONE compiled program (lax.scan over
-    # chunks); only two time-bound scalars come back before finalize
-    counts = np.minimum(
-        np.maximum(n - np.arange(nchunks) * chunk, 0), chunk
-    ).astype(np.int32)
-    hist, max_t_dev, min_t_dev, imgs = _fused_trace_all(
-        soup,
-        config.mic_position,
-        config.source_position,
-        directions.reshape(nchunks, chunk, 3),
-        counts,
-        spec_arrays,
-        nreflections=config.reflections,
-        length=length,
-        sample_rate=config.sample_rate,
-        impl=impl,
-        spec_static=spec_static,
-        include_diffuse=include_diffuse,
-    )
+    # the entire trace+bin phase is ONE compiled program; only two
+    # time-bound scalars come back before finalize
+    if n <= RAY_PROGRAM_LIMIT:
+        # single pass over all rays: sweeps run at full width and bounce
+        # rows scatter straight into the carried histogram
+        hist, max_t_dev, min_t_dev, imgs = _fused_trace_bin(
+            soup,
+            config.mic_position,
+            config.source_position,
+            directions,
+            np.int32(n),
+            spec_arrays,
+            nreflections=config.reflections,
+            length=length,
+            sample_rate=config.sample_rate,
+            impl=impl,
+            spec_static=spec_static,
+            include_diffuse=include_diffuse,
+        )
+    else:
+        counts = np.minimum(
+            np.maximum(n - np.arange(nchunks) * chunk, 0), chunk
+        ).astype(np.int32)
+        hist, max_t_dev, min_t_dev, imgs = _fused_trace_all(
+            soup,
+            config.mic_position,
+            config.source_position,
+            directions.reshape(nchunks, chunk, 3),
+            counts,
+            spec_arrays,
+            nreflections=config.reflections,
+            length=length,
+            sample_rate=config.sample_rate,
+            impl=impl,
+            spec_static=spec_static,
+            include_diffuse=include_diffuse,
+        )
     max_t = float(max_t_dev)
     min_t = float(min_t_dev)
 

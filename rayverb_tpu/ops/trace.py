@@ -165,8 +165,7 @@ def _diffuse_impulse(soup, mic, state, hit, vis, t_safe):
     return next_state, alive_new, intersection, (volume_out, position_out, time_out)
 
 
-@partial(jax.jit, static_argnames=("nreflections", "impl"))
-def trace_chunk(
+def _trace_impl(
     soup: TriangleSoup,
     mic,
     source,
@@ -174,12 +173,23 @@ def trace_chunk(
     *,
     nreflections: int,
     impl: str = "auto",
-) -> TraceOutputs:
-    """Trace one chunk of rays end to end (jitted; N and R static)."""
+    consume_row=None,
+    aux0=None,
+):
+    """The trace loop. With `consume_row=None`, collects every diffuse
+    bounce row and returns TraceOutputs (the reference's dense impulse
+    buffers). With a consumer, each (volume (N,8), position (N,3),
+    time (N,)) row is folded into `aux` the moment it is produced —
+    aux = consume_row(aux, row) — and the (N, R) impulse arrays never
+    materialise; returns (aux, image-slot TraceOutputs fields).
+    The fused renderer uses this to scatter rows straight into the energy
+    histogram, which removes the need for ray chunking entirely.
+    """
     mic = jnp.asarray(mic, jnp.float32)
     source = jnp.asarray(source, jnp.float32)
     directions = jnp.asarray(directions, jnp.float32)
     n = directions.shape[0]
+    aux = aux0
 
     state = _RayState(
         pos=jnp.broadcast_to(source, (n, 3)),
@@ -309,17 +319,21 @@ def trace_chunk(
         state, alive_new, intersection, row = _diffuse_impulse(
             soup, mic, state, bounce, vis, t_safe
         )
-        diffuse_rows.append(row)
+        if consume_row is None:
+            diffuse_rows.append(row)
+        else:
+            aux = consume_row(aux, row)
 
     # ---- phase B: pure diffuse bounces (no image-source bookkeeping) ----
     # (A pipelined variant merging each bounce's shadow ray into the next
     # bounce's sweep was benchmarked 12% SLOWER on v5e — the larger scan
     # carry cost more than the halved launch count bought.)
     n_tail = nreflections - n_image_bounces
+    tail_vol = tail_pos = tail_time = None
     if n_tail > 0:
 
         def step(carry, _):
-            st = carry
+            st, ax = carry
             bounce = closest_hit(st.pos, st.dir, soup, impl=impl)
             t_safe = jnp.where(bounce.hit, bounce.t, 0.0)
             intersection = st.pos + st.dir * t_safe[:, None]
@@ -327,12 +341,32 @@ def trace_chunk(
             shadow = closest_hit(intersection, _safe_normalize(to_mic), soup, impl=impl)
             vis = _visible_from_hit(shadow, jnp.linalg.norm(to_mic, axis=-1))
             st2, _, _, row = _diffuse_impulse(soup, mic, st, bounce, vis, t_safe)
-            return st2, row
+            if consume_row is None:
+                return (st2, ax), row
+            return (st2, consume_row(ax, row)), None
 
-        state, tail_rows = jax.lax.scan(step, state, None, length=n_tail)
-        tail_vol, tail_pos, tail_time = tail_rows
-    else:
-        tail_vol = tail_pos = tail_time = None
+        (state, aux), tail_rows = jax.lax.scan(
+            step, (state, aux), None, length=n_tail
+        )
+        if consume_row is None:
+            tail_vol, tail_pos, tail_time = tail_rows
+
+    # pad image slots when nreflections < NUM_IMAGE_SOURCE - 1
+    while len(image_vol) < NUM_IMAGE_SOURCE:
+        image_vol.append(jnp.zeros((n, NUM_BANDS), jnp.float32))
+        image_pos.append(jnp.zeros((n, 3), jnp.float32))
+        image_time.append(jnp.zeros((n,), jnp.float32))
+        image_idx.append(jnp.zeros((n,), jnp.int32))
+
+    images = (
+        jnp.stack(image_vol, axis=1),
+        jnp.stack(image_pos, axis=1),
+        jnp.stack(image_time, axis=1),
+        jnp.stack(image_idx, axis=1),
+    )
+
+    if consume_row is not None:
+        return aux, images
 
     head_vol = jnp.stack([r[0] for r in diffuse_rows], axis=1) if diffuse_rows else None
     head_pos = jnp.stack([r[1] for r in diffuse_rows], axis=1) if diffuse_rows else None
@@ -346,25 +380,30 @@ def trace_chunk(
             parts.append(jnp.moveaxis(tail, 0, 1) if move else tail)
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
-    diffuse_volume = _join(head_vol, tail_vol, True)
-    diffuse_position = _join(head_pos, tail_pos, True)
-    diffuse_time = _join(head_time, tail_time, True)
-
-    # pad image slots when nreflections < NUM_IMAGE_SOURCE - 1
-    while len(image_vol) < NUM_IMAGE_SOURCE:
-        image_vol.append(jnp.zeros((n, NUM_BANDS), jnp.float32))
-        image_pos.append(jnp.zeros((n, 3), jnp.float32))
-        image_time.append(jnp.zeros((n,), jnp.float32))
-        image_idx.append(jnp.zeros((n,), jnp.int32))
-
     return TraceOutputs(
-        diffuse_volume=diffuse_volume,
-        diffuse_position=diffuse_position,
-        diffuse_time=diffuse_time,
-        image_volume=jnp.stack(image_vol, axis=1),
-        image_position=jnp.stack(image_pos, axis=1),
-        image_time=jnp.stack(image_time, axis=1),
-        image_index=jnp.stack(image_idx, axis=1),
+        diffuse_volume=_join(head_vol, tail_vol, True),
+        diffuse_position=_join(head_pos, tail_pos, True),
+        diffuse_time=_join(head_time, tail_time, True),
+        image_volume=images[0],
+        image_position=images[1],
+        image_time=images[2],
+        image_index=images[3],
+    )
+
+
+@partial(jax.jit, static_argnames=("nreflections", "impl"))
+def trace_chunk(
+    soup: TriangleSoup,
+    mic,
+    source,
+    directions,
+    *,
+    nreflections: int,
+    impl: str = "auto",
+) -> TraceOutputs:
+    """Trace one chunk of rays end to end (jitted; N and R static)."""
+    return _trace_impl(
+        soup, mic, source, directions, nreflections=nreflections, impl=impl
     )
 
 
