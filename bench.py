@@ -1,16 +1,23 @@
 #!/usr/bin/env python
-"""Benchmark: the reference's headline workload on one TPU chip.
+"""Benchmark: the north-star workload + the reference's headline workload.
 
-Workload = the vault demo exactly as shipped (assets/configs/vault.json:
-50,000 rays x 128 reflections through the 3,754-triangle vault, stereo
-cardioid speakers, zero-phase Linkwitz-Riley crossover, full image-source
-search) — the configuration the reference's docs report at ~10 s on its
-2015 GPU (BASELINE.md), i.e. ~0.64 M ray-bounces/s.
+Primary metric (BASELINE.json): trace 1M rays x 16 bounces through a
+100k-triangle hall and render a stereo HRTF IR on one TPU chip —
+ray-bounces/sec/chip. The hall mesh is procedurally generated on demand
+(scripts/gen_hall.py; deterministic, cached on disk).
+
+Continuity workload: the vault demo exactly as shipped
+(assets/configs/vault.json: 50,000 rays x 128 reflections through the
+3,754-triangle vault, stereo cardioid speakers, zero-phase Linkwitz-Riley
+crossover, full image-source search) — the configuration the reference's
+docs report at ~10 s on its 2015 GPU (BASELINE.md), i.e. ~0.64 M
+ray-bounces/s.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-value = ray-bounces/s of the steady-state fused render (second run; the
-first run pays one-time XLA compilation).
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+value = north-star ray-bounces/s of the steady-state fused render (second
+run; the first run pays one-time XLA compilation). vs_baseline is against
+the reference's implied 0.64 M ray-bounces/s.
 """
 
 import json
@@ -21,15 +28,50 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_RAY_BOUNCES_PER_S = 0.64e6  # BASELINE.md implied throughput
 
+NORTH_STAR_RAYS = 1_000_000
+NORTH_STAR_REFLECTIONS = 16
+NORTH_STAR_TRIANGLES = 100_000
 
-def run(config_path, model_path, material_path, ray_chunk):
-    from rayverb_tpu import load_config, load_scene
+
+def _hall_path():
+    path = os.path.join(REPO, "assets/test_models/hall100k.obj")
+    if not os.path.exists(path):
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        from gen_hall import generate
+
+        n = generate(path, NORTH_STAR_TRIANGLES)
+        print(f"generated {path}: {n} triangles", file=sys.stderr)
+    return path
+
+
+def _north_star_config():
+    from rayverb_tpu.config.schema import parse_config
+
+    return parse_config(
+        json.dumps(
+            {
+                "rays": NORTH_STAR_RAYS,
+                "reflections": NORTH_STAR_REFLECTIONS,
+                "sample_rate": 44100,
+                "bit_depth": 16,
+                "source_position": [12.0, 6.0, 8.0],
+                "mic_position": [28.0, 5.0, 20.0],
+                "attenuation_model": {
+                    "hrtf": {"facing": [0, 0, 1], "up": [0, 1, 0]}
+                },
+                "filter": "linkwitz_riley",
+                "normalize": True,
+                "trim_tail": False,
+            }
+        )
+    )
+
+
+def run(cfg, scene, ray_chunk, seed=1234):
     from rayverb_tpu.ops.render import render_fused
     from rayverb_tpu.utils.directions import random_directions
 
-    cfg = load_config(config_path)
-    scene = load_scene(model_path, material_path)
-    dirs = random_directions(cfg.rays, seed=1234)
+    dirs = random_directions(cfg.rays, seed=seed)
 
     # warm-up: compiles the fused chunk + finalize programs
     render_fused(scene, cfg, dirs, ray_chunk=ray_chunk)
@@ -43,31 +85,47 @@ def run(config_path, model_path, material_path, ray_chunk):
 
 def main():
     sys.path.insert(0, REPO)
+    from rayverb_tpu import load_config, load_scene
     from rayverb_tpu.runtime import retry_reexec_fail
 
     try:
-        bounces, wall = run(
-            os.path.join(REPO, "assets/configs/vault.json"),
+        # --- continuity workload: the reference's headline vault render ---
+        vault_cfg = load_config(os.path.join(REPO, "assets/configs/vault.json"))
+        vault_scene = load_scene(
             os.path.join(REPO, "assets/test_models/vault.obj"),
             os.path.join(REPO, "assets/materials/vault.json"),
-            ray_chunk=4096,
         )
-        label = "vault 50k rays x 128 refl, stereo LR IR"
+        vault_bounces, vault_wall = run(vault_cfg, vault_scene, ray_chunk=4096)
+
+        # --- north-star workload: 1M rays x 16 bounces, 100k-tri hall ---
+        ns_cfg = _north_star_config()
+        ns_scene = load_scene(_hall_path(), os.path.join(REPO, "assets/materials/mat.json"))
+        ns_bounces, ns_wall = run(
+            ns_cfg, ns_scene, ray_chunk=int(os.environ.get("RAYVERB_BENCH_CHUNK", 16384))
+        )
     except Exception as e:  # pragma: no cover - transient backend failures
         # every program compiled before the failure is in the persistent
         # cache; a fresh process picks up where this one died
-        print(f"vault bench failed ({e}); retrying via re-exec", file=sys.stderr)
+        print(f"bench failed ({e}); retrying via re-exec", file=sys.stderr)
         retry_reexec_fail(max_attempts=4)
         raise
 
-    value = bounces / wall
+    value = ns_bounces / ns_wall
+    vault_value = vault_bounces / vault_wall
     print(
         json.dumps(
             {
-                "metric": f"ray-bounces/sec/chip ({label}, steady-state wall {wall:.2f}s)",
+                "metric": (
+                    "ray-bounces/sec/chip (north star: 1M rays x 16 refl, "
+                    f"100k-tri hall, stereo HRTF LR IR, steady-state wall {ns_wall:.2f}s; "
+                    f"vault 50k x 128: {vault_value:.3g} rb/s, wall {vault_wall:.2f}s)"
+                ),
                 "value": round(value, 1),
                 "unit": "ray-bounces/s",
                 "vs_baseline": round(value / BASELINE_RAY_BOUNCES_PER_S, 2),
+                "north_star_wall_s": round(ns_wall, 3),
+                "vault_ray_bounces_per_s": round(vault_value, 1),
+                "vault_wall_s": round(vault_wall, 3),
             }
         )
     )

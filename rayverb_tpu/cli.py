@@ -105,14 +105,11 @@ def main(argv=None) -> int:
         scene = load_scene(args.model, args.materials, verbose=config.verbose)
         t1 = _time.perf_counter()
 
-        from .config.schema import FilterType
-
         seed = args.seed if args.seed is not None else config.seed
         directions = random_directions(config.rays, seed=seed)
 
         use_fused = (
             args.pipeline == "fused"
-            and config.filter != FilterType.WINDOWED_SINC
             and not args.dump_paths
             and not args.save_raw
             and not args.from_raw
@@ -129,7 +126,8 @@ def main(argv=None) -> int:
             from .ops.render import render_fused
 
             channels, _info = render_fused(
-                scene, config, directions, impl=args.trace_impl
+                scene, config, directions, impl=args.trace_impl,
+                stats=args.stats,
             )
         else:
             from .pipeline import render
@@ -172,6 +170,17 @@ def main(argv=None) -> int:
                 f"({bounces / max(t2 - t1, 1e-9) / 1e6:.2f} M ray-bounces/s)",
                 file=sys.stderr,
             )
+            if use_fused and "timings" in _info:
+                tm = _info["timings"]
+                phases = "  ".join(
+                    f"{k}: {v:.3f}s" for k, v in tm.items() if k != "total"
+                )
+                print(
+                    f"phases [{phases}]  "
+                    f"pair-tests: {_info['pair_tests_issued']:.3g} issued, "
+                    f"{_info['pair_tests_per_s'] / 1e9:.2f} G/s",
+                    file=sys.stderr,
+                )
     except (ValueError, RuntimeError, OSError) as e:
         print("encountered runtime error:", file=sys.stderr)
         print(e, file=sys.stderr)

@@ -34,6 +34,16 @@ class RaytracerResults:
         return int(self.time.shape[0])
 
 
+def _mix32_np(h):
+    """The same 32-bit finalizer as ops.render._mix32, in numpy uint32."""
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x7FEB352D)
+    h = h ^ (h >> np.uint32(15))
+    h = h * np.uint32(0x846CA68B)
+    h = h ^ (h >> np.uint32(16))
+    return h
+
+
 def dedup_select(image_index: np.ndarray, remove_direct: bool):
     """Cross-ray image-source dedup (rayverb.cpp:653-676) — index phase.
 
@@ -44,30 +54,55 @@ def dedup_select(image_index: np.ndarray, remove_direct: bool):
     element is a real surface (non-zero). `removeDirect` then erases the
     {0} key (rayverb.cpp:692-697).
 
-    Takes only the (N, S) index array (cheap to pull from device) and
-    returns (ray_ids, slot_ids) of the surviving unique entries in
-    key-sorted order — matching std::map iteration order.
-    """
-    idx = np.asarray(image_index)
-    n, s = idx.shape
+    Prefix identity is a cumulative 64-bit hash of the chain (two mixed
+    32-bit streams, matching ops.render.chain_hashes' design) so the whole
+    phase is O(N*S) time and memory — at the 1M-ray north-star scale this
+    is ~100 MB of host scratch where a literal prefix matrix would be
+    ~800 MB plus an (N*S, S) row sort. A hash collision would merge two
+    distinct early reflections (probability ~2^-64 per pair; documented
+    deviation shared with the fused path). The handful of surviving unique
+    chains are then ordered lexicographically — matching std::map
+    iteration order, the contract tested by tests/test_trace.py.
 
-    # prefix matrix: row (ray, k) = chain[:k] padded with -1
-    prefixes = np.full((n, s, s), -1, dtype=np.int64)
-    for k in range(1, s + 1):
-        prefixes[:, k - 1, :k] = idx[:, :k]
+    Takes only the (N, S) index array (cheap to pull from device) and
+    returns (ray_ids, slot_ids) of the surviving unique entries.
+    """
+    idx = np.ascontiguousarray(np.asarray(image_index))
+    n, s = idx.shape
+    u = idx.astype(np.uint32)
+
+    keys = np.empty((n, s), np.uint64)
+    h1 = np.full(n, 0x9E3779B9, np.uint32)
+    h2 = np.full(n, 0x85EBCA6B, np.uint32)
+    for k in range(s):
+        h1 = _mix32_np(h1 ^ u[:, k])
+        h2 = _mix32_np((h2 + u[:, k]) ^ np.uint32(0x27D4EB2F))
+        keys[:, k] = (h1.astype(np.uint64) << np.uint64(32)) | h2
     keep = np.ones((n, s), dtype=bool)
-    for k in range(2, s + 1):
-        keep[:, k - 1] = idx[:, k - 1] != 0
+    keep[:, 1:] = idx[:, 1:] != 0
     if remove_direct:
         keep[:, 0] = False
 
-    flat_keys = prefixes[keep]                     # (M, S)
-    ray_ids, slot_ids = np.nonzero(keep)
-    if flat_keys.shape[0] == 0:
-        return ray_ids[:0], slot_ids[:0]
-    # np.unique(axis=0) sorts rows lexicographically == std::map key order
-    _, first = np.unique(flat_keys, axis=0, return_index=True)
-    return ray_ids[first], slot_ids[first]
+    # single flat unique over hashed keys; dropped entries get a sentinel
+    # key whose group is discarded via the keep test on its first index
+    flat_keys = np.where(keep, keys, np.uint64(0xFFFFFFFFFFFFFFFF)).ravel()
+    _, first = np.unique(flat_keys, return_index=True)
+    first = first[keep.ravel()[first]]
+    ray_ids = first // s
+    slot_ids = first % s
+    if first.size == 0:
+        return ray_ids, slot_ids
+
+    # order the (few) survivors by the reference's map key order:
+    # lexicographic over variable-length chains, shorter prefixes first
+    # (padding -1 sorts below any surface index)
+    m = first.size
+    chains = np.full((m, s), -1, dtype=np.int64)
+    for j in range(s):
+        sel = slot_ids >= j
+        chains[sel, j] = idx[ray_ids[sel], j]
+    order = np.lexsort(chains.T[::-1])
+    return ray_ids[order], slot_ids[order]
 
 
 def dedup_images(outputs: TraceOutputs, remove_direct: bool):

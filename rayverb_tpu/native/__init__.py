@@ -11,6 +11,7 @@ this file.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import sys
@@ -18,6 +19,7 @@ import threading
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_HERE, "librayverb_native.so")
+_HASH_PATH = _LIB_PATH + ".hash"
 _SOURCES = [os.path.join(_HERE, "objparse.cpp")]
 
 _lock = threading.Lock()
@@ -25,7 +27,15 @@ _lib = None
 _build_failed = False
 
 
-def _build() -> bool:
+def _source_hash() -> str:
+    h = hashlib.sha256()
+    for s in _SOURCES:
+        with open(s, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+def _build(src_hash: str) -> bool:
     cmd = [
         "g++",
         "-O3",
@@ -37,6 +47,10 @@ def _build() -> bool:
     ] + _SOURCES
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        # record the source hash the binary was built from: git checkouts do
+        # not preserve mtimes, so staleness is detected by content, not time
+        with open(_HASH_PATH, "w") as f:
+            f.write(src_hash)
         return True
     except Exception as e:  # pragma: no cover - toolchain-dependent
         print(f"rayverb_tpu: native build failed ({e}); using Python "
@@ -64,9 +78,13 @@ def get_lib():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        src_mtime = max(os.path.getmtime(s) for s in _SOURCES)
-        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < src_mtime:
-            if not _build():
+        src_hash = _source_hash()
+        built_hash = None
+        if os.path.exists(_HASH_PATH):
+            with open(_HASH_PATH) as f:
+                built_hash = f.read().strip()
+        if not os.path.exists(_LIB_PATH) or built_hash != src_hash:
+            if not _build(src_hash):
                 _build_failed = True
                 return None
         try:

@@ -367,7 +367,12 @@ def filter_bank(
     as a truncated FFT convolution — numerically equivalent up to float32
     wrap-around noise, no O(T) sequential chain on TPU).
     """
-    data = jnp.asarray(data, jnp.float32)
+    # Host copy taken BEFORE any device attempt: a failed device compile
+    # poisons the backend on some tunneled TPU runtimes, after which even a
+    # D2H pull of `data` raises — so the numpy fallbacks below must never
+    # touch a device array (observed crash: modular --filter-method fft).
+    host_data = np.asarray(data, np.float32)
+    data = jnp.asarray(host_data)
     if filter_type == FilterType.WINDOWED_SINC:
         edges = band_edges(lo_cutoff, sample_rate)
         kernels = np.stack(
@@ -404,9 +409,10 @@ def filter_bank(
                 "falling back to host numpy",
                 file=sys.stderr,
             )
-            # Return a HOST array: a failed device compile poisons further
-            # compiles on some backends, so downstream must stay on host.
-            return _bank_fft_passes_numpy(np.asarray(data), responses, flips, nfft)
+            # Return a HOST array computed from the pre-captured host copy:
+            # a failed device compile poisons further compiles AND transfers
+            # on some backends, so downstream must stay on host.
+            return _bank_fft_passes_numpy(host_data, responses, flips, nfft)
     # note: trailing un-flip to restore time order after an odd number of
     # reversed passes (none of the reference sequences end odd)
     try:
@@ -434,4 +440,4 @@ def filter_bank(
             ]
         )
         flips = tuple(bool(f) for _, f in passes)
-        return _bank_fft_passes_numpy(np.asarray(data), responses, flips, nfft)
+        return _bank_fft_passes_numpy(host_data, responses, flips, nfft)

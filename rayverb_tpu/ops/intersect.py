@@ -32,6 +32,15 @@ class TriangleSoup(NamedTuple):
     """Device-resident scene geometry in pre-gathered SoA form.
 
     Padding rows are all-zero => zero-area => |det| < EPSILON => never hit.
+
+    The last three fields are the Pallas sweep's acceleration table, built
+    host-side once per scene (soup_from_scene): triangles Morton-ordered by
+    centroid so that consecutive 256-triangle blocks are spatially compact,
+    packed as [v0, e0, e1, orig_index, 0...] rows, with a conservative AABB
+    per block. The sweep kernel slab-tests each ray block against a
+    triangle block's AABB and skips the Möller-Trumbore work for blocks no
+    ray can improve in — the reference has no such structure (its sweep is
+    explicitly brute force, kernel.cpp:176-190).
     """
 
     v0: jax.Array        # (T, 3)
@@ -41,6 +50,9 @@ class TriangleSoup(NamedTuple):
     surface: jax.Array   # (T,) int32 row into specular/diffuse
     specular: jax.Array  # (S, 8)
     diffuse: jax.Array   # (S, 8)
+    packed: jax.Array    # (Tp, 16) f32 Morton-sorted [v0,e0,e1,orig_idx,0..]
+    block_aabb: jax.Array  # (Tp/256, 8) f32 per-block [lo, hi, 0, 0]
+    bounds: jax.Array    # (2, 3) scene AABB
 
     @property
     def num_padded(self) -> int:
@@ -52,21 +64,113 @@ class TriangleSoup(NamedTuple):
         return jnp.stack([v0, v0 + self.e0[idx], v0 + self.e1[idx]], axis=-2)
 
 
-def soup_from_scene(scene) -> TriangleSoup:
-    """Build a device TriangleSoup from a compiled host Scene."""
-    e0 = np.asarray(scene.e0)
-    e1 = np.asarray(scene.e1)
+def _morton3(q: np.ndarray) -> np.ndarray:
+    """Interleave 3x10-bit quantized coordinates into 30-bit Morton codes.
+    q: (T, 3) uint32 in [0, 1024)."""
+    def spread(x):
+        x = x.astype(np.uint64)
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
+        spread(q[:, 2]) << np.uint64(2)
+    )
+
+
+def build_sweep_table(v0, e0, e1, block: int = 256):
+    """Host-side sweep acceleration table: Morton order + packed rows +
+    per-block AABBs. Returns (packed (Tp, 16), aabbs (Tp/block, 8)) numpy.
+
+    The original triangle index rides in packed[:, 9] as float32 (exact
+    for scenes below 2^24 triangles) so the kernel can report hits in the
+    caller's index space, preserving the reference's lowest-index tie rule.
+    """
+    v0 = np.asarray(v0, np.float32)
+    e0 = np.asarray(e0, np.float32)
+    e1 = np.asarray(e1, np.float32)
+    t = v0.shape[0]
+    if t >= (1 << 24):
+        raise ValueError("sweep table supports < 2^24 triangles")
+
+    centroid = v0 + (e0 + e1) / 3.0
+    lo = centroid.min(axis=0)
+    hi = centroid.max(axis=0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    q = np.clip(((centroid - lo) / span * 1023.0), 0, 1023).astype(np.uint32)
+    order = np.argsort(_morton3(q), kind="stable").astype(np.int64)
+
+    tp = ((t + block - 1) // block) * block
+    packed = np.zeros((tp, 16), np.float32)
+    packed[:t, 0:3] = v0[order]
+    packed[:t, 3:6] = e0[order]
+    packed[:t, 6:9] = e1[order]
+    packed[:t, 9] = order.astype(np.float32)
+
+    # conservative per-block AABB over all three vertices; padding rows are
+    # empty (excluded); fully-empty blocks get a far-away point AABB that
+    # no practical ray intersects (skipping them is pure optimization —
+    # their zero-area rows can never produce a hit anyway)
+    p0 = packed[:, 0:3]
+    p1 = p0 + packed[:, 3:6]
+    p2 = p0 + packed[:, 6:9]
+    allp = np.stack([p0, p1, p2], axis=1)  # (Tp, 3, 3)
+    real = np.zeros((tp,), bool)
+    real[:t] = True
+    big = np.float32(1e30)
+    lo_rows = np.where(real[:, None, None], allp, big).reshape(
+        tp // block, block * 3, 3
+    )
+    hi_rows = np.where(real[:, None, None], allp, -big).reshape(
+        tp // block, block * 3, 3
+    )
+    pad = np.float32(1e-4)
+    aabbs = np.zeros((tp // block, 8), np.float32)
+    aabbs[:, 0:3] = lo_rows.min(axis=1) - pad
+    aabbs[:, 3:6] = hi_rows.max(axis=1) + pad
+    empty = ~real.reshape(tp // block, block).any(axis=1)
+    aabbs[empty, 0:3] = big
+    aabbs[empty, 3:6] = big
+    return packed, aabbs
+
+
+def soup_from_arrays(v0, e0, e1, surface, specular, diffuse) -> TriangleSoup:
+    """Build a TriangleSoup (including the sweep acceleration table) from
+    host triangle arrays."""
+    v0 = np.asarray(v0, np.float32)
+    e0 = np.asarray(e0, np.float32)
+    e1 = np.asarray(e1, np.float32)
     n = np.cross(e0, e1)
     norm = np.linalg.norm(n, axis=-1, keepdims=True)
     n = np.where(norm > 0, n / np.where(norm == 0, 1, norm), 0.0)
+    packed, aabbs = build_sweep_table(v0, e0, e1)
+    p_all = np.concatenate([v0, v0 + e0, v0 + e1], axis=0)
+    bounds = np.stack([p_all.min(axis=0), p_all.max(axis=0)])
     return TriangleSoup(
-        v0=jnp.asarray(scene.v0, dtype=jnp.float32),
-        e0=jnp.asarray(e0, dtype=jnp.float32),
-        e1=jnp.asarray(e1, dtype=jnp.float32),
+        v0=jnp.asarray(v0),
+        e0=jnp.asarray(e0),
+        e1=jnp.asarray(e1),
         normal=jnp.asarray(n, dtype=jnp.float32),
-        surface=jnp.asarray(scene.tri_surface, dtype=jnp.int32),
-        specular=jnp.asarray(scene.specular, dtype=jnp.float32),
-        diffuse=jnp.asarray(scene.diffuse, dtype=jnp.float32),
+        surface=jnp.asarray(surface, dtype=jnp.int32),
+        specular=jnp.asarray(specular, dtype=jnp.float32),
+        diffuse=jnp.asarray(diffuse, dtype=jnp.float32),
+        packed=jnp.asarray(packed),
+        block_aabb=jnp.asarray(aabbs),
+        bounds=jnp.asarray(bounds, dtype=jnp.float32),
+    )
+
+
+def soup_from_scene(scene) -> TriangleSoup:
+    """Build a device TriangleSoup from a compiled host Scene."""
+    return soup_from_arrays(
+        scene.v0,
+        scene.e0,
+        scene.e1,
+        scene.tri_surface,
+        scene.specular,
+        scene.diffuse,
     )
 
 

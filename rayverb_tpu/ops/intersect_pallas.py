@@ -2,17 +2,28 @@
 
 Replaces the reference's per-work-item triangle loop
 (ray_triangle_intersection, reference rayverb/kernel.cpp:161-192) with a
-tiled (triangle-block x ray-block) sweep:
+hierarchically-culled tiled (triangle-block x ray-block) sweep:
 
-  - grid (ray_blocks, tri_blocks), triangle axis minormost: each ray
+  - grid (ray_blocks, tri_superblocks), triangle axis minormost: each ray
     block's running (best_t, best_index) output block stays VMEM-resident
     across the whole triangle sweep (standard reduction-grid pattern)
-  - pair planes are laid out (TB sublanes, RB lanes): triangle constants
-    broadcast from (TB, 1) columns, ray components from (1, RB) rows —
-    no transposes inside the kernel
+  - each grid step covers SUPER = SUB_BLOCKS x TRI_BLOCK triangles; the
+    triangles arrive Morton-ordered (intersect.build_sweep_table) so every
+    TRI_BLOCK-row sub-block is spatially compact and carries a conservative
+    AABB. The kernel slab-tests the ray block against each sub-AABB —
+    bounded above by the per-ray running best t — and SKIPS the whole
+    Möller-Trumbore tile unless some ray could improve. This is the
+    acceleration structure the reference never had (its sweep is explicitly
+    brute force); culling is conservative, so results are bit-identical to
+    the XLA reference sweep.
+  - pair planes are laid out (TRI_BLOCK sublanes, RAY_BLOCK lanes):
+    triangle constants broadcast from (TB, 1) columns, ray components from
+    (1, RB) rows — no transposes inside the kernel
   - Möller–Trumbore arithmetic and tolerances match intersect.py /
     the reference exactly (|det| < EPSILON, strict barycentric bounds,
-    t > EPSILON, ties keep the lowest triangle index)
+    t > EPSILON). Original triangle indices ride in packed[:, 9], and ties
+    resolve to the lowest ORIGINAL index — the reference's strict '<'
+    update order (kernel.cpp:176-190) — despite the Morton reordering.
 
 Padding: rays are padded with +inf-miss rows, triangles with zero-area
 rows (det == 0 -> rejected), so block alignment never changes results.
@@ -32,15 +43,20 @@ from ..constants import EPSILON
 
 # Tile sizes: lanes (rays) must be a multiple of 128, sublanes (triangles)
 # a multiple of 8. (TB, RB) f32 planes of 256x512 = 512 KB; the kernel
-# keeps ~8 live planes well under the ~16 MB VMEM budget.
+# keeps ~8 live planes plus the 256 KB superblock well under the ~16 MB
+# VMEM budget.
 RAY_BLOCK = 512
 TRI_BLOCK = 256
+SUB_BLOCKS = 16
+SUPER = TRI_BLOCK * SUB_BLOCKS  # triangles per grid step
+
+_BIG_I32 = np.int32(0x7FFFFFFF)
 
 
-def _kernel(rays_ref, tris_ref, best_t_ref, best_i_ref):
-    tb = pl.program_id(1)
+def _kernel(rays_ref, aabb_ref, tris_ref, best_t_ref, best_i_ref):
+    sb = pl.program_id(1)
 
-    @pl.when(tb == 0)
+    @pl.when(sb == 0)
     def _init():
         best_t_ref[...] = jnp.full_like(best_t_ref, jnp.inf)
         best_i_ref[...] = jnp.zeros_like(best_i_ref)
@@ -53,57 +69,99 @@ def _kernel(rays_ref, tris_ref, best_t_ref, best_i_ref):
     dy = rays_ref[4:5, :]
     dz = rays_ref[5:6, :]
 
-    # triangle constants: (TB, 1) columns
-    v0x = tris_ref[:, 0:1]
-    v0y = tris_ref[:, 1:2]
-    v0z = tris_ref[:, 2:3]
-    e0x = tris_ref[:, 3:4]
-    e0y = tris_ref[:, 4:5]
-    e0z = tris_ref[:, 5:6]
-    e1x = tris_ref[:, 6:7]
-    e1y = tris_ref[:, 7:8]
-    e1z = tris_ref[:, 8:9]
+    ivx = 1.0 / dx  # +-inf on zero components; the zero-dir select below
+    ivy = 1.0 / dy  # keeps the slab test exact there
+    ivz = 1.0 / dz
 
-    # pvec = cross(d, e1): (TB, RB) planes
-    pvx = dy * e1z - dz * e1y
-    pvy = dz * e1x - dx * e1z
-    pvz = dx * e1y - dy * e1x
+    def slab_axis(o, dv, iv, lo, hi):
+        near = (lo - o) * iv
+        far = (hi - o) * iv
+        tn = jnp.minimum(near, far)
+        tf = jnp.maximum(near, far)
+        zero = jnp.abs(dv) < 1e-30
+        inside = (o >= lo) & (o <= hi)
+        tn = jnp.where(zero, jnp.where(inside, -jnp.inf, jnp.inf), tn)
+        tf = jnp.where(zero, jnp.where(inside, jnp.inf, -jnp.inf), tf)
+        return tn, tf
 
-    det = e0x * pvx + e0y * pvy + e0z * pvz
-    degenerate = jnp.abs(det) < EPSILON
-    invdet = 1.0 / jnp.where(degenerate, 1.0, det)
+    for k in range(SUB_BLOCKS):
+        lo0 = aabb_ref[k, 0]
+        lo1 = aabb_ref[k, 1]
+        lo2 = aabb_ref[k, 2]
+        hi0 = aabb_ref[k, 3]
+        hi1 = aabb_ref[k, 4]
+        hi2 = aabb_ref[k, 5]
 
-    # tvec = o - v0
-    tvx = ox - v0x
-    tvy = oy - v0y
-    tvz = oz - v0z
+        tnx, tfx = slab_axis(ox, dx, ivx, lo0, hi0)
+        tny, tfy = slab_axis(oy, dy, ivy, lo1, hi1)
+        tnz, tfz = slab_axis(oz, dz, ivz, lo2, hi2)
+        tn = jnp.maximum(jnp.maximum(tnx, tny), tnz)
+        tf = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
+        # a triangle hit t lies within [tn, tf]; only blocks that could
+        # beat the running best (ties included — a tie may resolve to a
+        # lower original index) and clear the t > EPSILON gate matter
+        possible = (tf >= jnp.maximum(tn, EPSILON)) & (tn <= best_t_ref[...])
 
-    u = invdet * (tvx * pvx + tvy * pvy + tvz * pvz)
+        @pl.when(jnp.any(possible))
+        def _mt(k=k):
+            s = k * TRI_BLOCK
+            e = s + TRI_BLOCK
+            # triangle constants: (TB, 1) columns
+            v0x = tris_ref[s:e, 0:1]
+            v0y = tris_ref[s:e, 1:2]
+            v0z = tris_ref[s:e, 2:3]
+            e0x = tris_ref[s:e, 3:4]
+            e0y = tris_ref[s:e, 4:5]
+            e0z = tris_ref[s:e, 5:6]
+            e1x = tris_ref[s:e, 6:7]
+            e1y = tris_ref[s:e, 7:8]
+            e1z = tris_ref[s:e, 8:9]
+            oidx = tris_ref[s:e, 9:10].astype(jnp.int32)  # original index
 
-    # qvec = cross(tvec, e0)
-    qvx = tvy * e0z - tvz * e0y
-    qvy = tvz * e0x - tvx * e0z
-    qvz = tvx * e0y - tvy * e0x
+            # pvec = cross(d, e1): (TB, RB) planes
+            pvx = dy * e1z - dz * e1y
+            pvy = dz * e1x - dx * e1z
+            pvz = dx * e1y - dy * e1x
 
-    v = invdet * (dx * qvx + dy * qvy + dz * qvz)
-    t = invdet * (e1x * qvx + e1y * qvy + e1z * qvz)
+            det = e0x * pvx + e0y * pvy + e0z * pvz
+            degenerate = jnp.abs(det) < EPSILON
+            invdet = 1.0 / jnp.where(degenerate, 1.0, det)
 
-    valid = (
-        (~degenerate)
-        & (u >= 0.0) & (u <= 1.0)
-        & (v >= 0.0) & (u + v <= 1.0)
-        & (t > EPSILON)
-    )
-    t = jnp.where(valid, t, jnp.inf)
+            # tvec = o - v0
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
 
-    # per-ray reduction over the triangle sublanes
-    tmin = jnp.min(t, axis=0, keepdims=True)                      # (1, RB)
-    local = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]      # (1, RB)
-    global_idx = tb * TRI_BLOCK + local
+            u = invdet * (tvx * pvx + tvy * pvy + tvz * pvz)
 
-    better = tmin < best_t_ref[...]
-    best_t_ref[...] = jnp.where(better, tmin, best_t_ref[...])
-    best_i_ref[...] = jnp.where(better, global_idx, best_i_ref[...])
+            # qvec = cross(tvec, e0)
+            qvx = tvy * e0z - tvz * e0y
+            qvy = tvz * e0x - tvx * e0z
+            qvz = tvx * e0y - tvy * e0x
+
+            v = invdet * (dx * qvx + dy * qvy + dz * qvz)
+            t = invdet * (e1x * qvx + e1y * qvy + e1z * qvz)
+
+            valid = (
+                (~degenerate)
+                & (u >= 0.0) & (u <= 1.0)
+                & (v >= 0.0) & (u + v <= 1.0)
+                & (t > EPSILON)
+            )
+            t = jnp.where(valid, t, jnp.inf)
+
+            # per-ray reduction over the triangle sublanes; ties keep the
+            # lowest original triangle index (reference strict '<' update)
+            tmin = jnp.min(t, axis=0, keepdims=True)              # (1, RB)
+            cand = jnp.min(
+                jnp.where(t <= tmin, oidx, _BIG_I32), axis=0, keepdims=True
+            )
+
+            bt = best_t_ref[...]
+            bi = best_i_ref[...]
+            better = (tmin < bt) | ((tmin == bt) & (cand < bi))
+            best_t_ref[...] = jnp.where(better, tmin, bt)
+            best_i_ref[...] = jnp.where(better, cand, bi)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -111,23 +169,34 @@ def _round_up(n: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _closest_hit_padded(rays_t, tris, *, interpret: bool):
-    """rays_t: (8, Mp) f32; tris: (Tp, 16) f32. Returns ((1, Mp) t,
-    (1, Mp) idx)."""
+def _closest_hit_padded(rays_t, tris, aabbs, *, interpret: bool):
+    """rays_t: (8, Mp) f32; tris: (Tp, 16) f32 Morton-packed; aabbs:
+    (Tp/TRI_BLOCK, 8). Returns ((1, Mp) t, (1, Mp) original idx)."""
     mp = rays_t.shape[1]
     tp = tris.shape[0]
-    grid = (mp // RAY_BLOCK, tp // TRI_BLOCK)
+    grid = (mp // RAY_BLOCK, tp // SUPER)
     flops_per_pair = 55
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, RAY_BLOCK), lambda r, t: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TRI_BLOCK, 16), lambda r, t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, RAY_BLOCK), lambda r, t: (0, r), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (SUB_BLOCKS, 8), lambda r, t: (t, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (SUPER, 16), lambda r, t: (t, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=[
-            pl.BlockSpec((1, RAY_BLOCK), lambda r, t: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RAY_BLOCK), lambda r, t: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, RAY_BLOCK), lambda r, t: (0, r), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, RAY_BLOCK), lambda r, t: (0, r), memory_space=pltpu.VMEM
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, mp), jnp.float32),
@@ -139,22 +208,23 @@ def _closest_hit_padded(rays_t, tris, *, interpret: bool):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(rays_t, tris)
+    )(rays_t, aabbs, tris)
 
 
-def pack_triangles(soup) -> jax.Array:
-    """(Tp, 16) triangle constant table: [v0, e0, e1, 0...] padded to the
-    triangle block size."""
-    t = soup.v0.shape[0]
-    tp = _round_up(t, TRI_BLOCK)
-    packed = jnp.concatenate(
-        [soup.v0, soup.e0, soup.e1, jnp.zeros((t, 7), jnp.float32)], axis=1
-    )
-    if tp != t:
-        packed = jnp.concatenate(
-            [packed, jnp.zeros((tp - t, 16), jnp.float32)], axis=0
+def _super_padded(soup):
+    """Pad the soup's Morton table to a SUPER multiple (static shapes)."""
+    tris = soup.packed
+    aabbs = soup.block_aabb
+    tp = tris.shape[0]
+    want = _round_up(max(tp, SUPER), SUPER)
+    if want != tp:
+        tris = jnp.concatenate(
+            [tris, jnp.zeros((want - tp, 16), jnp.float32)], axis=0
         )
-    return packed
+        far = jnp.full(((want - tp) // TRI_BLOCK, 8), 1e30, jnp.float32)
+        far = far.at[:, 6:].set(0.0)
+        aabbs = jnp.concatenate([aabbs, far], axis=0)
+    return tris, aabbs
 
 
 def should_use_pallas(num_rays: int, num_triangles: int) -> bool:
@@ -165,7 +235,8 @@ def should_use_pallas(num_rays: int, num_triangles: int) -> bool:
     async-dispatch timing artifacts): the fused-XLA sweep sustains ~5 G
     pair-tests/s regardless of batch; this kernel reaches 15.5 G at
     M=4096 and 42.5 G at M=49k — 3.9x end-to-end on the vault headline
-    render (11.8 s -> 3.0 s). RAYVERB_NO_PALLAS=1 opts out.
+    render (11.8 s -> 3.0 s), before AABB culling. RAYVERB_NO_PALLAS=1
+    opts out.
     """
     import os
 
@@ -198,8 +269,8 @@ def closest_hit_pallas(origins, dirs, soup, *, interpret: bool | None = None):
             [rays_t, jnp.zeros((8, mp - m), jnp.float32)], axis=1
         )
 
-    tris = pack_triangles(soup)
-    best_t, best_i = _closest_hit_padded(rays_t, tris, interpret=interpret)
+    tris, aabbs = _super_padded(soup)
+    best_t, best_i = _closest_hit_padded(rays_t, tris, aabbs, interpret=interpret)
     t = best_t[0, :m]
     idx = best_i[0, :m]
     # padded triangle rows can never win (zero area => rejected), so idx

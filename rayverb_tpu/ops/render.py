@@ -54,6 +54,8 @@ enable_compilation_cache()
 
 MAX_HIST_LEN = 1 << 23  # ~190 s at 44.1 kHz; hard cap on the static bound
 
+RAY_BLOCK_SORT = 512  # Morton-sort rays when several sweep tiles are in play
+
 # Ray populations up to this size trace as ONE single-pass program (full-
 # width sweeps, rows binned in place); larger populations fall back to the
 # chunked multi-dispatch path to bound per-program working set.
@@ -169,8 +171,13 @@ def _attenuate_and_bin(
     mic, volumes, positions, times, spec: AttenSpec, length: int,
     sample_rate, predelay, weight=None, init_hist=None,
 ):
-    """(M, 8) impulses -> (C, 8, length) histogram, fused attenuation +
-    scatter (flattenImpulses, rayverb.cpp:48-77).
+    """(M, 8) impulses -> ((C, 8, length) histogram, min post-attenuation
+    time, max post-attenuation time); fused attenuation + scatter
+    (flattenImpulses, rayverb.cpp:48-77).
+
+    The time stats are over the *attenuated* (ITD-shifted for HRTF) times
+    of contributing impulses, matching findPredelay over AttenuatedImpulse
+    (rayverb.h:49-73): min over t > 0, max over all nonzero rows.
 
     `weight` (M,) optionally masks rows (image dedup selection). Zero-volume
     impulses contribute nothing, matching the skip in kernel.cpp:524,607.
@@ -187,6 +194,8 @@ def _attenuate_and_bin(
         basis = head_basis(spec.facing, spec.up)
 
     hists = []
+    min_t = jnp.float32(jnp.inf)
+    max_t = jnp.float32(0.0)
     for c in range(spec.nchannels):
         if spec.is_hrtf:
             gains, t_c = _hrtf_channel(
@@ -199,6 +208,10 @@ def _attenuate_and_bin(
             )
             vol_c = volumes * gain[:, None]
             t_c = times
+        min_t = jnp.minimum(
+            min_t, jnp.min(jnp.where(nonzero & (t_c > 0), t_c, jnp.inf))
+        )
+        max_t = jnp.maximum(max_t, jnp.max(jnp.where(nonzero, t_c, 0.0)))
         t_c = jnp.maximum(t_c - predelay, 0.0) if predelay is not None else t_c
         idx = jnp.floor(t_c * sample_rate + 0.5).astype(jnp.int32)
         idx = jnp.where(nonzero, idx, length)  # out of range -> dropped
@@ -209,7 +222,7 @@ def _attenuate_and_bin(
             else init_hist[c]
         )
         hists.append(hist.at[:, idx].add(vol_c.T, mode="drop"))
-    return jnp.stack(hists)
+    return jnp.stack(hists), min_t, max_t
 
 
 class ChunkOut(NamedTuple):
@@ -260,14 +273,20 @@ def _chunk_core(
         ).reshape(n * r, NUM_BANDS)
         pos = out.diffuse_position.reshape(n * r, 3)
         tim = out.diffuse_time.reshape(n * r)
-        hist = _attenuate_and_bin(
+        hist, min_t, max_t = _attenuate_and_bin(
             mic, vol, pos, tim, spec, length, sample_rate,
             predelay=None, init_hist=init_hist,
         )
-    elif init_hist is not None:
-        hist = init_hist
     else:
-        hist = jnp.zeros((spec.nchannels, NUM_BANDS, length), jnp.float32)
+        # diffuse impulses are outside the output population: they do not
+        # participate in predelay (findPredelay runs over the selected set)
+        min_t, max_t = jnp.float32(jnp.inf), jnp.float32(0.0)
+        if init_hist is not None:
+            hist = init_hist
+        else:
+            hist = jnp.zeros(
+                (spec.nchannels, NUM_BANDS, length), jnp.float32
+            )
 
     h1, h2 = chain_hashes(out.image_index)
     slots = jnp.broadcast_to(
@@ -275,11 +294,6 @@ def _chunk_core(
         out.image_index.shape,
     )
     valid = ((slots == 0) | (out.image_index != 0)) & ray_ok[:, None]
-
-    nz_diff = jnp.any(out.diffuse_volume != 0, axis=-1) & ray_ok[:, None]
-    tim_all = out.diffuse_time
-    max_t = jnp.max(jnp.where(nz_diff, tim_all, 0.0))
-    min_t = jnp.min(jnp.where(nz_diff & (tim_all > 0), tim_all, jnp.inf))
 
     return ChunkOut(
         hist=hist,
@@ -369,13 +383,14 @@ def _fused_trace_bin(
         vol, pos, tim = row
         vol = jnp.where(ray_ok[:, None], vol, 0.0)
         if include_diffuse:
-            hist = _attenuate_and_bin(
+            # time stats use the *attenuated* (ITD-shifted) times, matching
+            # findPredelay over AttenuatedImpulse (rayverb.h:49-73)
+            hist, row_mn, row_mx = _attenuate_and_bin(
                 mic32, vol, pos, tim, spec, length, sample_rate,
                 predelay=None, init_hist=hist,
             )
-        nz = jnp.any(vol != 0, axis=-1)
-        mx = jnp.maximum(mx, jnp.max(jnp.where(nz, tim, 0.0)))
-        mn = jnp.minimum(mn, jnp.min(jnp.where(nz & (tim > 0), tim, jnp.inf)))
+            mx = jnp.maximum(mx, row_mx)
+            mn = jnp.minimum(mn, row_mn)
         return hist, mx, mn
 
     aux0 = (
@@ -539,6 +554,11 @@ def _finalize(
         do_normalize=do_normalize,
         filter_method=filter_method,
     )
+    if filter_method == "fir":
+        # the sinc bank grows the IR (FastConvolution, filters.h:55-80)
+        from .filters import KERNEL_LENGTH
+
+        content_len = content_len + KERNEL_LENGTH - 1
     return mixed, trim_len, content_len
 
 
@@ -599,7 +619,7 @@ def _finalize_hist(
         weight = jnp.zeros((m,), jnp.float32).at[srow].add(
             selected.astype(jnp.float32)
         )
-        img_hist = _attenuate_and_bin(
+        img_hist, _, _ = _attenuate_and_bin(
             mic,
             img_volume.reshape(m, NUM_BANDS),
             img_position.reshape(m, 3),
@@ -613,13 +633,16 @@ def _finalize_hist(
         hist = hist + img_hist
 
     if predelay is not None:
+        # whole-histogram equivalent of fixPredelay (rayverb.h:77-97):
+        # bins shifted past the origin CLAMP into bin 0 (t = max(t-pd, 0)),
+        # they are not dropped — the direct-path peak must survive.
         shift = jnp.floor(predelay * sample_rate + 0.5).astype(jnp.int32)
-        idx = jnp.arange(length) + shift  # gather source indices
-        idx = jnp.clip(idx, 0, length - 1)
-        shifted = jnp.take(hist, idx, axis=-1)
-        # bins before the (clipped) shift source would duplicate bin 0+shift
-        mask = (jnp.arange(length) + shift) < length
-        hist = jnp.where(mask, shifted, 0.0)
+        pos = jnp.arange(length)
+        src = pos + shift  # gather source indices
+        shifted = jnp.take(hist, jnp.clip(src, 0, length - 1), axis=-1)
+        shifted = jnp.where(src < length, shifted, 0.0)
+        head = jnp.sum(jnp.where(pos <= shift, hist, 0.0), axis=-1)
+        hist = shifted.at[..., 0].set(head)
 
     # exact content length: one past the last occupied bin (the reference's
     # flatten length round(maxtime*sr)+1, rayverb.cpp:53-57, minus trailing
@@ -657,10 +680,22 @@ def _finalize_filter(
     # arithmetic) with `responses` = (P, 8, 5) float32 coefficients —
     # preferred on backends where huge FFT programs are fragile; ~1 s/pass
     # at 400k samples since all C*8 lanes scan in parallel.
+    # filter_method='fir': the windowed-sinc bank as ONE full FFT
+    # convolution per band (`responses` = (1, 8, nfft//2+1) kernel
+    # spectra); the output GROWS by KERNEL_LENGTH-1 samples, matching
+    # FastConvolution (filters.cpp:96-154, filters.h:55-80).
     out = hist
     t = out.shape[-1]
     in_content = (jnp.arange(t) < content_len).astype(out.dtype)
-    if filter_method == "scan":
+    if filter_method == "fir":
+        from .filters import KERNEL_LENGTH
+
+        t = t + KERNEL_LENGTH - 1
+        content_len = content_len + KERNEL_LENGTH - 1
+        spec_f = jnp.fft.rfft(out, n=nfft)
+        out = jnp.fft.irfft(spec_f * responses[0], n=nfft)[..., :t]
+        out = out * (jnp.arange(t) < content_len)
+    elif filter_method == "scan":
         from .filters import biquad_onepass
 
         # reversed passes run as reverse-direction scans; the array never
@@ -713,8 +748,26 @@ def finalize_filter_params(
 
     method None resolves to 'scan' on TPU backends (robust, exact
     reference arithmetic) and 'fft' elsewhere (faster on CPU);
-    RAYVERB_FINALIZE_FILTER overrides. Returns (params, flips, nfft,
-    method)."""
+    RAYVERB_FINALIZE_FILTER overrides. The windowed-sinc FIR bank always
+    uses 'fir' (one FFT convolution per band — there is no IIR form).
+    Returns (params, flips, nfft, method)."""
+    if filter_type == FilterType.WINDOWED_SINC:
+        from .filters import KERNEL_LENGTH, band_edges, bandpass_sinc_kernel
+
+        edges = band_edges(lo_cutoff, sample_rate)
+        nfft = _fft_len(length + KERNEL_LENGTH - 1)
+        kernels = np.stack(
+            [
+                bandpass_sinc_kernel(sample_rate, edges[i], edges[i + 1])
+                for i in range(NUM_BANDS)
+            ]
+        )
+        params = jnp.asarray(
+            np.fft.rfft(kernels.astype(np.float64), n=nfft).astype(
+                np.complex64
+            )[None]
+        )
+        return params, (False,), nfft, "fir"
     if method is None:
         method = os.environ.get("RAYVERB_FINALIZE_FILTER") or (
             "scan" if jax.default_backend() == "tpu" else "fft"
@@ -753,6 +806,19 @@ def histogram_length(scene, nreflections: int, sample_rate: float) -> int:
     return min(max(length, 256), MAX_HIST_LEN)
 
 
+def sweep_pair_tests(nrays: int, ntris: int, nreflections: int) -> int:
+    """Ray-triangle pair tests ISSUED by one trace (pre-cull): the direct
+    ray, per image-bounce closest-hit + combined validation sweep, and the
+    tail's closest-hit + shadow sweeps."""
+    b = min(nreflections, NUM_IMAGE_SOURCE - 1)
+    total = ntris  # direct-path visibility
+    for k in range(b):
+        total += nrays * ntris              # bounce closest-hit
+        total += nrays * (k + 3) * ntris    # shadow + (k+1) segments + vis
+    total += (nreflections - b) * 2 * nrays * ntris
+    return total
+
+
 def render_fused(
     scene,
     config: RenderConfig,
@@ -762,17 +828,27 @@ def render_fused(
     impl: str = "auto",
     ray_chunk: int = DEFAULT_RAY_CHUNK,
     soup: TriangleSoup | None = None,
+    stats: bool = False,
 ):
     """Full-speed render. Returns (channels (C, T') float32 numpy, info dict).
 
     Only scalars (predelay, max time, trim length) and the final (C, L)
-    output ever leave the device.
+    output ever leave the device. With stats=True the info dict gains a
+    'timings' phase breakdown (device-synchronised walls) plus issued
+    pair-test throughput — the observability upgrade SURVEY.md §5 calls
+    for; set RAYVERB_PROFILE_DIR to also capture a jax.profiler trace of
+    the steady-state render.
     """
-    if config.filter == FilterType.WINDOWED_SINC:
-        raise ValueError(
-            "the fused path supports IIR filter types; use the modular "
-            "pipeline for 'sinc'"
-        )
+    import time as _time
+
+    timings: dict = {}
+    profile_dir = os.environ.get("RAYVERB_PROFILE_DIR")
+    profile_ctx = (
+        jax.profiler.trace(profile_dir) if (stats and profile_dir) else None
+    )
+    if profile_ctx is not None:
+        profile_ctx.__enter__()
+    t_start = _time.perf_counter()
     if soup is None:
         soup = soup_from_scene(scene)
     spec = make_atten_spec(config.attenuation_model, hrtf_table)
@@ -783,6 +859,12 @@ def render_fused(
 
     directions = np.asarray(directions, dtype=np.float32)
     n = directions.shape[0]
+    if n >= 4 * RAY_BLOCK_SORT:
+        # coherent 512-ray bundles raise the sweep kernel's AABB-cull skip
+        # rate; ray order is semantically free (see utils.directions)
+        from ..utils.directions import morton_sort
+
+        directions = morton_sort(directions)
     if n <= RAY_PROGRAM_LIMIT:
         nchunks, chunk = 1, n
         padded = -(-n // 512) * 512  # lane-friendly
@@ -841,19 +923,36 @@ def render_fused(
             spec_static=spec_static,
             include_diffuse=include_diffuse,
         )
+    if stats:
+        jax.block_until_ready(hist)
+        timings["trace_bin"] = _time.perf_counter() - t_start
+        t_mark = _time.perf_counter()
     max_t = float(max_t_dev)
     min_t = float(min_t_dev)
 
     # direct-path + image times participate in predelay like the reference's
     # findPredelay over attenuated impulses (rayverb.h:49-73)
     if include_images:
-        img_min, img_max = _image_time_stats(imgs[4], imgs[2], imgs[0])
+        img_min, img_max = _image_time_stats(
+            imgs[4],
+            imgs[3],
+            imgs[2],
+            imgs[1],
+            imgs[0],
+            np.asarray(config.mic_position, np.float32),
+            spec_arrays,
+            spec_static=spec_static,
+            remove_direct=config.remove_direct,
+        )
         min_t = min(min_t, float(img_min))
         max_t = max(max_t, float(img_max))
 
     predelay = None
     if config.trim_predelay and np.isfinite(min_t):
         predelay = float(min_t)
+    if stats:
+        timings["time_stats"] = _time.perf_counter() - t_mark
+        t_mark = _time.perf_counter()
 
     # finalize over a power-of-two bucket that covers the actual content
     # rather than the conservative scene bound: the filter scans cost O(L)
@@ -889,18 +988,35 @@ def render_fused(
         filter_method=filter_method,
     )
 
+    if stats:
+        jax.block_until_ready(mixed)
+        timings["finalize"] = _time.perf_counter() - t_mark
+        t_mark = _time.perf_counter()
+
     content = int(content_len)
     out_len = min(int(trim_len), content) if config.trim_tail else content
     # one full pull, sliced host-side: device slicing would compile a new
     # program per distinct output length
     channels = np.asarray(mixed)[:, : max(out_len, 1)][:, :out_len]
-    return channels, {
+    info = {
         "predelay": predelay or 0.0,
         "histogram_length": length,
         "content_length": content,
         "trim_length": int(trim_len),
         "max_diffuse_time": max_t,
     }
+    if stats:
+        timings["pull"] = _time.perf_counter() - t_mark
+        total = _time.perf_counter() - t_start
+        timings["total"] = total
+        pairs = sweep_pair_tests(n, soup.num_padded, config.reflections)
+        info["timings"] = timings
+        info["pair_tests_issued"] = pairs
+        info["pair_tests_per_s"] = pairs / max(timings["trace_bin"], 1e-9)
+        info["ray_bounces_per_s"] = n * config.reflections / max(total, 1e-9)
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+    return channels, info
 
 
 @partial(jax.jit, static_argnames=("bucket",))
@@ -908,11 +1024,46 @@ def _slice_hist(hist, *, bucket: int):
     return hist[..., :bucket]
 
 
-@jax.jit
-def _image_time_stats(img_valid, img_time, img_volume):
-    """(earliest nonzero-volume image time, latest valid image time)."""
-    ok = img_valid & (img_time > 0) & jnp.any(img_volume != 0, axis=-1)
-    return (
-        jnp.min(jnp.where(ok, img_time, jnp.inf)),
-        jnp.max(jnp.where(img_valid, img_time, 0.0)),
-    )
+@partial(jax.jit, static_argnames=("spec_static", "remove_direct"))
+def _image_time_stats(
+    img_valid,
+    img_slot,
+    img_time,
+    img_position,
+    img_volume,
+    mic,
+    spec_arrays,
+    *,
+    spec_static,
+    remove_direct: bool,
+):
+    """(earliest, latest) post-attenuation image time over the admitted
+    population. Uses ITD-shifted per-channel times for HRTF so the fused
+    predelay matches findPredelay over AttenuatedImpulse (rayverb.h:49-73).
+    Duplicate chains share identical times, so running pre-dedup gives the
+    same min/max as the deduped set."""
+    is_hrtf, nchannels = spec_static
+    spec = AttenSpec(is_hrtf, nchannels, *spec_arrays)
+    mic = jnp.asarray(mic, jnp.float32)
+    ok = img_valid & jnp.any(img_volume != 0, axis=-1)
+    if remove_direct:
+        ok = ok & (img_slot != 0)
+    times = img_time.reshape(-1)
+    positions = img_position.reshape(-1, 3)
+    ok = ok.reshape(-1)
+    min_t = jnp.float32(jnp.inf)
+    max_t = jnp.float32(0.0)
+    if is_hrtf:
+        from .attenuate import head_basis
+
+        basis = head_basis(spec.facing, spec.up)
+        for c in range(nchannels):
+            _, t_c = _hrtf_channel(mic, positions, times, spec.table, basis, c)
+            min_t = jnp.minimum(
+                min_t, jnp.min(jnp.where(ok & (t_c > 0), t_c, jnp.inf))
+            )
+            max_t = jnp.maximum(max_t, jnp.max(jnp.where(ok, t_c, 0.0)))
+    else:
+        min_t = jnp.min(jnp.where(ok & (times > 0), times, jnp.inf))
+        max_t = jnp.max(jnp.where(ok, times, 0.0))
+    return min_t, max_t

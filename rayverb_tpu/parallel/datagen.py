@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config.schema import FilterType, RenderConfig
+from ..config.schema import RenderConfig
 from ..ops.render import (
     _finalize,
     _fused_chunk,
@@ -50,9 +50,6 @@ def render_irs_batched(
     pair, or broadcast one set with np.broadcast_to).
     Returns (irs (B, C, L) float32, content_lengths (B,) int32).
     """
-    if config.filter == FilterType.WINDOWED_SINC:
-        raise ValueError("batched datagen supports IIR filter types only")
-
     soup = soup_from_scene(scene)
     spec = make_atten_spec(config.attenuation_model, hrtf_table)
     spec_static = (spec.is_hrtf, spec.nchannels)

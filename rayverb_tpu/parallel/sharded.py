@@ -71,11 +71,9 @@ def render_fused_sharded(
         histogram_length,
         make_atten_spec,
     )
-    from ..config.schema import FilterType, OutputMode
+    from ..config.schema import OutputMode
     from ..ops.intersect import soup_from_scene
 
-    if config.filter == FilterType.WINDOWED_SINC:
-        raise ValueError("fused path supports IIR filter types only")
     if mesh is None:
         mesh = make_mesh()
     axis = mesh.axis_names[0]
@@ -153,16 +151,20 @@ def render_fused_sharded(
     include_images = config.output_mode in (OutputMode.ALL, OutputMode.IMAGE_ONLY)
     min_time = float(min_t)
     if include_images:
-        it = float(
-            jnp.min(
-                jnp.where(
-                    img_valid & (img_time > 0) & jnp.any(img_volume != 0, -1),
-                    img_time,
-                    jnp.inf,
-                )
-            )
+        from ..ops.render import _image_time_stats
+
+        img_min, _ = _image_time_stats(
+            img_valid,
+            img_slot,
+            img_time,
+            img_position,
+            img_volume,
+            np.asarray(config.mic_position, np.float32),
+            spec_arrays,
+            spec_static=spec_static,
+            remove_direct=config.remove_direct,
         )
-        min_time = min(min_time, it)
+        min_time = min(min_time, float(img_min))
     predelay = (
         float(min_time)
         if config.trim_predelay and np.isfinite(min_time)

@@ -116,15 +116,20 @@ def load_obj(path: str) -> RawMesh:
 
 
 def load_mesh(path: str) -> RawMesh:
-    """Load a 3D model. Currently OBJ only.
+    """Load a 3D model: OBJ (+MTL) or DXF (3DFACE).
 
     The reference accepts any Assimp-supported format
-    (cmd/parallel_raytrace.1.md:36-39); OBJ covers the entire demo corpus.
-    Other extensions raise a clear error so callers can convert.
+    (cmd/parallel_raytrace.1.md:36-39); OBJ + DXF cover its entire demo
+    corpus (room1-3.dxf included). Other extensions raise a clear error
+    so callers can convert.
     """
     ext = os.path.splitext(path)[1].lower()
     if ext == ".obj":
         return load_obj(path)
+    if ext == ".dxf":
+        from .dxfloader import load_dxf
+
+        return load_dxf(path)
     raise ValueError(
-        f"Unsupported model format {ext!r}; supported formats: .obj"
+        f"Unsupported model format {ext!r}; supported formats: .obj, .dxf"
     )

@@ -59,3 +59,21 @@ def uniform_directions(num: int) -> np.ndarray:
     return np.stack(
         [zt * np.cos(theta), zt * np.sin(theta), z], axis=-1
     ).astype(np.float32)
+
+
+def morton_sort(directions: np.ndarray) -> np.ndarray:
+    """Reorder unit directions along a Morton (Z-order) curve so that
+    consecutive rays point into nearby solid angles.
+
+    Ray order is semantically free (the reference's RNG order carries no
+    meaning), but spatial coherence within the Pallas sweep's 512-ray
+    tiles raises its AABB-cull skip rate dramatically: a coherent bundle's
+    hits concentrate in few triangle blocks, and specular reflection
+    preserves bundle coherence bounce over bounce.
+    """
+    from ..ops.intersect import _morton3
+
+    d = np.asarray(directions, np.float32)
+    q = np.clip((d + 1.0) * 0.5 * 1023.0, 0, 1023).astype(np.uint32)
+    order = np.argsort(_morton3(q), kind="stable")
+    return d[order]

@@ -226,10 +226,22 @@ def main(argv=None) -> int:
         if rc != 0:
             failures += 1
             print(f"  FAILED (rc={rc})", file=sys.stderr)
-    print(
-        f"done: {len(todo) - failures}/{len(todo)} rendered in "
-        f"{time.time() - t_start:.0f}s"
-    )
+    wall = time.time() - t_start
+    print(f"done: {len(todo) - failures}/{len(todo)} rendered in {wall:.0f}s")
+    if not args.dry_run:
+        import json
+
+        report = {
+            "rendered": len(todo) - failures,
+            "failures": failures,
+            "total": len(todo),
+            "wall_seconds": round(wall, 1),
+            "pipeline": args.pipeline,
+            "ext": args.ext,
+        }
+        os.makedirs(args.outdir, exist_ok=True)
+        with open(os.path.join(args.outdir, "report.json"), "w") as fh:
+            json.dump(report, fh, indent=1)
     return 1 if failures else 0
 
 

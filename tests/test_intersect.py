@@ -5,9 +5,9 @@ import numpy as np
 
 from rayverb_tpu.constants import EPSILON
 from rayverb_tpu.ops.intersect import (
-    TriangleSoup,
     closest_hit_xla,
     intersect_triangle,
+    soup_from_arrays,
     visible,
 )
 
@@ -17,18 +17,14 @@ def make_soup(tri_list, surface=None):
     v0 = tv[:, 0]
     e0 = tv[:, 1] - tv[:, 0]
     e1 = tv[:, 2] - tv[:, 0]
-    n = np.cross(e0, e1)
-    nn = np.linalg.norm(n, axis=-1, keepdims=True)
-    n = np.where(nn > 0, n / np.where(nn == 0, 1, nn), 0.0)
     t = tv.shape[0]
-    return TriangleSoup(
-        v0=jnp.asarray(v0),
-        e0=jnp.asarray(e0),
-        e1=jnp.asarray(e1),
-        normal=jnp.asarray(n, dtype=jnp.float32),
-        surface=jnp.zeros((t,), jnp.int32) if surface is None else jnp.asarray(surface),
-        specular=jnp.ones((1, 8), jnp.float32),
-        diffuse=jnp.ones((1, 8), jnp.float32),
+    return soup_from_arrays(
+        v0,
+        e0,
+        e1,
+        np.zeros((t,), np.int32) if surface is None else surface,
+        np.ones((1, 8), np.float32),
+        np.ones((1, 8), np.float32),
     )
 
 

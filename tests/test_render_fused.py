@@ -113,6 +113,56 @@ def test_predelay_shift(box):
     assert np.abs(fused[:, :8]).max() > 0
 
 
+def _compare_predelay(overrides, box):
+    """The fused path applies predelay as a whole-histogram bin shift (a
+    documented deviation: each impulse may move one sample relative to the
+    reference's per-impulse subtraction). Because the predelay is the
+    MINIMUM arrival time, nothing lands before the shift, so the exact
+    contract is: fused(trim_predelay) == modular(no predelay) advanced by
+    round(predelay * sr) samples. Filtering is LTI and normalize is
+    shift-invariant, so the comparison holds post-processing."""
+    cfg_pd = make_config(trim_predelay=True, **overrides)
+    dirs = random_directions(cfg_pd.rays, seed=cfg_pd.seed)
+    fused, info = render_fused(box, cfg_pd, dirs)
+    assert info["predelay"] > 0
+    shift = int(np.floor(info["predelay"] * cfg_pd.sample_rate + 0.5))
+
+    cfg_nopd = make_config(trim_predelay=False, **overrides)
+    modular = render(cfg_nopd, box, directions=dirs, filter_method="fft").channels
+
+    expected = modular[:, shift:]
+    n = min(fused.shape[-1], expected.shape[-1])
+    assert n > 50
+    scale = max(np.abs(expected).max(), 1e-9)
+    np.testing.assert_allclose(
+        fused[:, :n] / scale, expected[:, :n] / scale, atol=2e-4
+    )
+    return fused
+
+
+def test_hrtf_trim_predelay_match(box):
+    """Regression: fused predelay must come from post-HRTF ITD-shifted
+    times and clamp shifted-out bins to bin 0 (fixPredelay), not drop
+    them — otherwise near-ear direct-path energy is zeroed and normalize
+    rescales by the wrong peak (the shipped hrtf_* configs all combine
+    hrtf with trim_predelay)."""
+    fused = _compare_predelay(
+        dict(
+            attenuation_model={
+                "hrtf": {"facing": [0, 0, 1], "up": [0, 1, 0]}
+            },
+            normalize=True,
+        ),
+        box,
+    )
+    # direct-path energy survives at the front of the IR
+    assert np.abs(fused[:, :8]).max() > 0.01
+
+
+def test_speaker_trim_predelay_match(box):
+    _compare_predelay(dict(normalize=True), box)
+
+
 def test_chunked_matches_single(box):
     cfg = make_config(rays=70)
     dirs = random_directions(cfg.rays, seed=3)
@@ -154,7 +204,11 @@ def test_histogram_length_bounds(box):
     assert histogram_length(box, 100000, 44100.0) == MAX_HIST_LEN
 
 
-def test_sinc_rejected(box):
+def test_sinc_fused_matches_modular(box):
+    """The windowed-sinc FIR bank runs on the fused path (one FFT
+    convolution per band, FastConvolution growth) and matches the modular
+    pipeline."""
     cfg = make_config(filter="sinc")
-    with pytest.raises(ValueError):
-        render_fused(box, cfg, random_directions(8, seed=0))
+    fused, modular, _ = compare(cfg, box)
+    # FastConvolution growth: fused output covers the grown region
+    assert fused.shape[-1] >= modular.shape[-1] - 2

@@ -129,3 +129,44 @@ def test_all_demo_models_load(assets_dir):
         assert mesh.num_triangles > 0, os.path.basename(path)
         count += 1
     assert count >= 18  # every .obj in the demo corpus
+
+
+def test_dxf_loader_synthetic(tmp_path):
+    """3DFACE quads triangulate to the Assimp fan order; the entity layer
+    becomes the face material name (dxfloader.py; reference imports DXF via
+    Assimp, rayverb.cpp:447-461)."""
+    from rayverb_tpu.scene.dxfloader import load_dxf
+
+    pairs = [
+        ("0", "SECTION"), ("2", "ENTITIES"),
+        ("0", "3DFACE"), ("8", "wall"),
+        ("10", "0"), ("20", "0"), ("30", "0"),
+        ("11", "1"), ("21", "0"), ("31", "0"),
+        ("12", "1"), ("22", "1"), ("32", "0"),
+        ("13", "0"), ("23", "1"), ("33", "0"),   # quad -> 2 tris
+        ("0", "3DFACE"), ("8", "floor"),
+        ("10", "0"), ("20", "0"), ("30", "5"),
+        ("11", "1"), ("21", "0"), ("31", "5"),
+        ("12", "1"), ("22", "1"), ("32", "5"),
+        ("13", "1"), ("23", "1"), ("33", "5"),   # corner4==corner3 -> tri
+        ("0", "ENDSEC"),
+    ]
+    p = tmp_path / "t.dxf"
+    p.write_text("\n".join(x for pair in pairs for x in pair) + "\n")
+    mesh = load_dxf(str(p))
+    assert mesh.faces.shape[0] == 3
+    assert mesh.face_materials == ["wall", "wall", "floor"]
+    np.testing.assert_allclose(mesh.vertices[mesh.faces[1]],
+                               [[0, 0, 0], [1, 1, 0], [0, 1, 0]])
+
+
+def test_dxf_rooms_load(assets_dir):
+    """The reference's three DXF demo rooms import end to end."""
+    from rayverb_tpu import load_scene
+
+    scene = load_scene(
+        str(assets_dir / "test_models" / "room3.dxf"),
+        str(assets_dir / "materials" / "mat.json"),
+    )
+    # 876 real triangles (+ scene-compile padding rows)
+    assert 876 <= scene.v0.shape[0] <= 896

@@ -173,3 +173,39 @@ def test_short_reflection_count(large_square_scene):
     assert out.diffuse_time.shape == (6, 3)
     assert np.all(np.asarray(out.image_index)[:, 4:] == 0)
     assert out.image_index.shape[1] == NUM_IMAGE_SOURCE
+
+
+def test_dedup_select_matches_map_oracle(rng):
+    """dedup_select's O(N*S) hash path reproduces the reference std::map
+    semantics (rayverb.cpp:653-676): unique admitted prefixes, iterated in
+    lexicographic key order (shorter prefixes first)."""
+    from rayverb_tpu.engine import dedup_select
+
+    n, s = 200, 10
+    idx = rng.integers(0, 5, size=(n, s)).astype(np.int32)
+
+    for remove_direct in (False, True):
+        # oracle: ordered map over actual prefix tuples
+        entries = {}
+        for r in range(n):
+            for k in range(s):
+                if k > 0 and idx[r, k] == 0:
+                    continue
+                if remove_direct and k == 0:
+                    continue
+                key = tuple(int(v) for v in idx[r, : k + 1])
+                entries.setdefault(key, (r, k))
+        expected = [entries[k] for k in sorted(entries)]
+
+        ray_ids, slot_ids = dedup_select(idx, remove_direct)
+        got = list(zip(ray_ids.tolist(), slot_ids.tolist()))
+        # keys must match position-for-position; the chosen duplicate row
+        # may differ (identical chains produce identical impulses), so
+        # compare the *chains*, and the slots (= chain lengths) exactly
+        got_keys = [
+            tuple(int(v) for v in idx[r, : k + 1]) for r, k in got
+        ]
+        exp_keys = [
+            tuple(int(v) for v in idx[r, : k + 1]) for r, k in expected
+        ]
+        assert got_keys == exp_keys
