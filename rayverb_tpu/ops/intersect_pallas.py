@@ -7,15 +7,17 @@ hierarchically-culled tiled (triangle-block x ray-block) sweep:
   - grid (ray_blocks, tri_superblocks), triangle axis minormost: each ray
     block's running (best_t, best_index) output block stays VMEM-resident
     across the whole triangle sweep (standard reduction-grid pattern)
-  - each grid step covers SUPER = SUB_BLOCKS x TRI_BLOCK triangles; the
-    triangles arrive Morton-ordered (intersect.build_sweep_table) so every
-    TRI_BLOCK-row sub-block is spatially compact and carries a conservative
-    AABB. The kernel slab-tests the ray block against each sub-AABB —
-    bounded above by the per-ray running best t — and SKIPS the whole
+  - triangles arrive Morton-ordered (intersect.build_sweep_table) so every
+    TRI_BLOCK-row grid step is spatially compact and carries a conservative
+    AABB. Each step slab-tests the ray block against its AABB — bounded
+    above by the per-ray running best t — and SKIPS the whole
     Möller-Trumbore tile unless some ray could improve. This is the
     acceleration structure the reference never had (its sweep is explicitly
     brute force); culling is conservative, so results are bit-identical to
-    the XLA reference sweep.
+    the XLA reference sweep. (Variants measured on v5e: sub-block loops via
+    lax.fori_loop + pl.when inside one big tile ran 7x SLOWER than the
+    plain grid — dynamic control flow defeats Mosaic's pipelining — and a
+    16x unrolled sub-block tile blew the 16 MB scoped-VMEM stack.)
   - pair planes are laid out (TRI_BLOCK sublanes, RAY_BLOCK lanes):
     triangle constants broadcast from (TB, 1) columns, ray components from
     (1, RB) rows — no transposes inside the kernel
@@ -47,16 +49,15 @@ from ..constants import EPSILON
 # VMEM budget.
 RAY_BLOCK = 512
 TRI_BLOCK = 256
-SUB_BLOCKS = 16
-SUPER = TRI_BLOCK * SUB_BLOCKS  # triangles per grid step
 
 _BIG_I32 = np.int32(0x7FFFFFFF)
 
 
-def _kernel(rays_ref, aabb_ref, tris_ref, best_t_ref, best_i_ref):
-    sb = pl.program_id(1)
+def _kernel(aabb_ref, rays_ref, tris_ref, best_t_ref, best_i_ref):
+    # aabb_ref is scalar-prefetched (SMEM-resident, full (NB, 8) table)
+    tb = pl.program_id(1)
 
-    @pl.when(sb == 0)
+    @pl.when(tb == 0)
     def _init():
         best_t_ref[...] = jnp.full_like(best_t_ref, jnp.inf)
         best_i_ref[...] = jnp.zeros_like(best_i_ref)
@@ -69,11 +70,8 @@ def _kernel(rays_ref, aabb_ref, tris_ref, best_t_ref, best_i_ref):
     dy = rays_ref[4:5, :]
     dz = rays_ref[5:6, :]
 
-    ivx = 1.0 / dx  # +-inf on zero components; the zero-dir select below
-    ivy = 1.0 / dy  # keeps the slab test exact there
-    ivz = 1.0 / dz
-
-    def slab_axis(o, dv, iv, lo, hi):
+    def slab_axis(o, dv, lo, hi):
+        iv = 1.0 / dv  # +-inf on zero components; the select keeps it exact
         near = (lo - o) * iv
         far = (hi - o) * iv
         tn = jnp.minimum(near, far)
@@ -84,84 +82,74 @@ def _kernel(rays_ref, aabb_ref, tris_ref, best_t_ref, best_i_ref):
         tf = jnp.where(zero, jnp.where(inside, jnp.inf, -jnp.inf), tf)
         return tn, tf
 
-    for k in range(SUB_BLOCKS):
-        lo0 = aabb_ref[k, 0]
-        lo1 = aabb_ref[k, 1]
-        lo2 = aabb_ref[k, 2]
-        hi0 = aabb_ref[k, 3]
-        hi1 = aabb_ref[k, 4]
-        hi2 = aabb_ref[k, 5]
+    tnx, tfx = slab_axis(ox, dx, aabb_ref[tb, 0], aabb_ref[tb, 3])
+    tny, tfy = slab_axis(oy, dy, aabb_ref[tb, 1], aabb_ref[tb, 4])
+    tnz, tfz = slab_axis(oz, dz, aabb_ref[tb, 2], aabb_ref[tb, 5])
+    tn = jnp.maximum(jnp.maximum(tnx, tny), tnz)
+    tf = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
+    # a triangle hit t lies within [tn, tf]; only blocks that could beat
+    # the running best (ties included — a tie may resolve to a lower
+    # original index) and clear the t > EPSILON gate matter
+    possible = (tf >= jnp.maximum(tn, EPSILON)) & (tn <= best_t_ref[...])
 
-        tnx, tfx = slab_axis(ox, dx, ivx, lo0, hi0)
-        tny, tfy = slab_axis(oy, dy, ivy, lo1, hi1)
-        tnz, tfz = slab_axis(oz, dz, ivz, lo2, hi2)
-        tn = jnp.maximum(jnp.maximum(tnx, tny), tnz)
-        tf = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
-        # a triangle hit t lies within [tn, tf]; only blocks that could
-        # beat the running best (ties included — a tie may resolve to a
-        # lower original index) and clear the t > EPSILON gate matter
-        possible = (tf >= jnp.maximum(tn, EPSILON)) & (tn <= best_t_ref[...])
+    @pl.when(jnp.any(possible))
+    def _mt():
+        # triangle constants: (TB, 1) columns
+        v0x = tris_ref[:, 0:1]
+        v0y = tris_ref[:, 1:2]
+        v0z = tris_ref[:, 2:3]
+        e0x = tris_ref[:, 3:4]
+        e0y = tris_ref[:, 4:5]
+        e0z = tris_ref[:, 5:6]
+        e1x = tris_ref[:, 6:7]
+        e1y = tris_ref[:, 7:8]
+        e1z = tris_ref[:, 8:9]
+        oidx = tris_ref[:, 9:10].astype(jnp.int32)  # original index
 
-        @pl.when(jnp.any(possible))
-        def _mt(k=k):
-            s = k * TRI_BLOCK
-            e = s + TRI_BLOCK
-            # triangle constants: (TB, 1) columns
-            v0x = tris_ref[s:e, 0:1]
-            v0y = tris_ref[s:e, 1:2]
-            v0z = tris_ref[s:e, 2:3]
-            e0x = tris_ref[s:e, 3:4]
-            e0y = tris_ref[s:e, 4:5]
-            e0z = tris_ref[s:e, 5:6]
-            e1x = tris_ref[s:e, 6:7]
-            e1y = tris_ref[s:e, 7:8]
-            e1z = tris_ref[s:e, 8:9]
-            oidx = tris_ref[s:e, 9:10].astype(jnp.int32)  # original index
+        # pvec = cross(d, e1): (TB, RB) planes
+        pvx = dy * e1z - dz * e1y
+        pvy = dz * e1x - dx * e1z
+        pvz = dx * e1y - dy * e1x
 
-            # pvec = cross(d, e1): (TB, RB) planes
-            pvx = dy * e1z - dz * e1y
-            pvy = dz * e1x - dx * e1z
-            pvz = dx * e1y - dy * e1x
+        det = e0x * pvx + e0y * pvy + e0z * pvz
+        degenerate = jnp.abs(det) < EPSILON
+        invdet = 1.0 / jnp.where(degenerate, 1.0, det)
 
-            det = e0x * pvx + e0y * pvy + e0z * pvz
-            degenerate = jnp.abs(det) < EPSILON
-            invdet = 1.0 / jnp.where(degenerate, 1.0, det)
+        # tvec = o - v0
+        tvx = ox - v0x
+        tvy = oy - v0y
+        tvz = oz - v0z
 
-            # tvec = o - v0
-            tvx = ox - v0x
-            tvy = oy - v0y
-            tvz = oz - v0z
+        u = invdet * (tvx * pvx + tvy * pvy + tvz * pvz)
 
-            u = invdet * (tvx * pvx + tvy * pvy + tvz * pvz)
+        # qvec = cross(tvec, e0)
+        qvx = tvy * e0z - tvz * e0y
+        qvy = tvz * e0x - tvx * e0z
+        qvz = tvx * e0y - tvy * e0x
 
-            # qvec = cross(tvec, e0)
-            qvx = tvy * e0z - tvz * e0y
-            qvy = tvz * e0x - tvx * e0z
-            qvz = tvx * e0y - tvy * e0x
+        v = invdet * (dx * qvx + dy * qvy + dz * qvz)
+        t = invdet * (e1x * qvx + e1y * qvy + e1z * qvz)
 
-            v = invdet * (dx * qvx + dy * qvy + dz * qvz)
-            t = invdet * (e1x * qvx + e1y * qvy + e1z * qvz)
+        valid = (
+            (~degenerate)
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (t > EPSILON)
+        )
+        t = jnp.where(valid, t, jnp.inf)
 
-            valid = (
-                (~degenerate)
-                & (u >= 0.0) & (u <= 1.0)
-                & (v >= 0.0) & (u + v <= 1.0)
-                & (t > EPSILON)
-            )
-            t = jnp.where(valid, t, jnp.inf)
+        # per-ray reduction over the triangle sublanes; ties keep the
+        # lowest original triangle index (reference strict '<' update)
+        tmin = jnp.min(t, axis=0, keepdims=True)              # (1, RB)
+        cand = jnp.min(
+            jnp.where(t <= tmin, oidx, _BIG_I32), axis=0, keepdims=True
+        )
 
-            # per-ray reduction over the triangle sublanes; ties keep the
-            # lowest original triangle index (reference strict '<' update)
-            tmin = jnp.min(t, axis=0, keepdims=True)              # (1, RB)
-            cand = jnp.min(
-                jnp.where(t <= tmin, oidx, _BIG_I32), axis=0, keepdims=True
-            )
-
-            bt = best_t_ref[...]
-            bi = best_i_ref[...]
-            better = (tmin < bt) | ((tmin == bt) & (cand < bi))
-            best_t_ref[...] = jnp.where(better, tmin, bt)
-            best_i_ref[...] = jnp.where(better, cand, bi)
+        bt = best_t_ref[...]
+        bi = best_i_ref[...]
+        better = (tmin < bt) | ((tmin == bt) & (cand < bi))
+        best_t_ref[...] = jnp.where(better, tmin, bt)
+        best_i_ref[...] = jnp.where(better, cand, bi)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -174,30 +162,39 @@ def _closest_hit_padded(rays_t, tris, aabbs, *, interpret: bool):
     (Tp/TRI_BLOCK, 8). Returns ((1, Mp) t, (1, Mp) original idx)."""
     mp = rays_t.shape[1]
     tp = tris.shape[0]
-    grid = (mp // RAY_BLOCK, tp // SUPER)
+    grid = (mp // RAY_BLOCK, tp // TRI_BLOCK)
     flops_per_pair = 55
-    return pl.pallas_call(
-        _kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # the (NB, 8) AABB table, SMEM-resident
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (8, RAY_BLOCK), lambda r, t: (0, r), memory_space=pltpu.VMEM
+                (8, RAY_BLOCK),
+                lambda r, t, aabb: (0, r),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (SUB_BLOCKS, 8), lambda r, t: (t, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (SUPER, 16), lambda r, t: (t, 0), memory_space=pltpu.VMEM
+                (TRI_BLOCK, 16),
+                lambda r, t, aabb: (t, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, RAY_BLOCK), lambda r, t: (0, r), memory_space=pltpu.VMEM
+                (1, RAY_BLOCK),
+                lambda r, t, aabb: (0, r),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, RAY_BLOCK), lambda r, t: (0, r), memory_space=pltpu.VMEM
+                (1, RAY_BLOCK),
+                lambda r, t, aabb: (0, r),
+                memory_space=pltpu.VMEM,
             ),
         ],
+    )
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, mp), jnp.float32),
             jax.ShapeDtypeStruct((1, mp), jnp.int32),
@@ -208,23 +205,12 @@ def _closest_hit_padded(rays_t, tris, aabbs, *, interpret: bool):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(rays_t, aabbs, tris)
+    )(aabbs, rays_t, tris)
 
 
-def _super_padded(soup):
-    """Pad the soup's Morton table to a SUPER multiple (static shapes)."""
-    tris = soup.packed
-    aabbs = soup.block_aabb
-    tp = tris.shape[0]
-    want = _round_up(max(tp, SUPER), SUPER)
-    if want != tp:
-        tris = jnp.concatenate(
-            [tris, jnp.zeros((want - tp, 16), jnp.float32)], axis=0
-        )
-        far = jnp.full(((want - tp) // TRI_BLOCK, 8), 1e30, jnp.float32)
-        far = far.at[:, 6:].set(0.0)
-        aabbs = jnp.concatenate([aabbs, far], axis=0)
-    return tris, aabbs
+def _block_padded(soup):
+    """The soup's Morton table (already a TRI_BLOCK multiple)."""
+    return soup.packed, soup.block_aabb
 
 
 def should_use_pallas(num_rays: int, num_triangles: int) -> bool:
@@ -269,7 +255,7 @@ def closest_hit_pallas(origins, dirs, soup, *, interpret: bool | None = None):
             [rays_t, jnp.zeros((8, mp - m), jnp.float32)], axis=1
         )
 
-    tris, aabbs = _super_padded(soup)
+    tris, aabbs = _block_padded(soup)
     best_t, best_i = _closest_hit_padded(rays_t, tris, aabbs, interpret=interpret)
     t = best_t[0, :m]
     idx = best_i[0, :m]
