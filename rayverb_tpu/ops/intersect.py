@@ -35,7 +35,7 @@ class TriangleSoup(NamedTuple):
 
     The last three fields are the Pallas sweep's acceleration table, built
     host-side once per scene (soup_from_scene): triangles Morton-ordered by
-    centroid so that consecutive 256-triangle blocks are spatially compact,
+    centroid so that consecutive SWEEP_BLOCK-triangle blocks are spatially compact,
     packed as [v0, e0, e1, orig_index, 0...] rows, with a conservative AABB
     per block. The sweep kernel slab-tests each ray block against a
     triangle block's AABB and skips the Möller-Trumbore work for blocks no
@@ -51,7 +51,7 @@ class TriangleSoup(NamedTuple):
     specular: jax.Array  # (S, 8)
     diffuse: jax.Array   # (S, 8)
     packed: jax.Array    # (Tp, 16) f32 Morton-sorted [v0,e0,e1,orig_idx,0..]
-    block_aabb: jax.Array  # (Tp/256, 8) f32 per-block [lo, hi, 0, 0]
+    block_aabb: jax.Array  # (Tp/SWEEP_BLOCK, 8) f32 per-block [lo, hi, 0, 0]
     bounds: jax.Array    # (2, 3) scene AABB
 
     @property
@@ -62,6 +62,13 @@ class TriangleSoup(NamedTuple):
         """Gather (..., 3, 3) triangle vertices for triangle indices."""
         v0 = self.v0[idx]
         return jnp.stack([v0, v0 + self.e0[idx], v0 + self.e1[idx]], axis=-2)
+
+
+# Triangle rows per sweep-kernel block (and per-block AABB). Measured on
+# v5e at 128k rays x 100k tris: 256 beats 512 (15.9 s -> 13.8 s trace) —
+# the finer AABB granularity culls more Moller-Trumbore work than the
+# halved tile count saves in fixed overhead.
+SWEEP_BLOCK = 256
 
 
 def _morton3(q: np.ndarray) -> np.ndarray:
@@ -80,7 +87,7 @@ def _morton3(q: np.ndarray) -> np.ndarray:
     )
 
 
-def build_sweep_table(v0, e0, e1, block: int = 256):
+def build_sweep_table(v0, e0, e1, block: int = SWEEP_BLOCK):
     """Host-side sweep acceleration table: Morton order + packed rows +
     per-block AABBs. Returns (packed (Tp, 16), aabbs (Tp/block, 8)) numpy.
 
@@ -230,13 +237,18 @@ def intersect_triangle(origins, dirs, tri_verts):
     return jnp.where(valid, t, 0.0)
 
 
-def closest_hit_xla(origins, dirs, soup: TriangleSoup) -> Hit:
+def closest_hit_xla(origins, dirs, soup: TriangleSoup, t_max=None) -> Hit:
     """Closest hit of M rays against all T triangles (brute force sweep,
     matching ray_triangle_intersection kernel.cpp:161-192).
 
     origins, dirs: (M, 3). The (M, T) candidate plane is never materialised
     past XLA fusion; the min+argmin reduction keeps the first (lowest-index)
     triangle on exact ties like the reference's strict '<' update.
+
+    t_max (M,), optional: drop hits strictly beyond the bound. Used by
+    point-to-point queries (mic shadow rays, image path validation) whose
+    verdicts only depend on hits at or before the target — see
+    trace._sweep_bound for why the verdicts are unchanged.
     """
     t, valid = moller_trumbore(
         origins[:, None, :],
@@ -245,28 +257,35 @@ def closest_hit_xla(origins, dirs, soup: TriangleSoup) -> Hit:
         soup.e0[None, :, :],
         soup.e1[None, :, :],
     )
-    t = jnp.where(valid & (t > EPSILON), t, jnp.inf)
+    keep = valid & (t > EPSILON)
+    if t_max is not None:
+        keep = keep & (t <= t_max[:, None])
+    t = jnp.where(keep, t, jnp.inf)
     idx = jnp.argmin(t, axis=1).astype(jnp.int32)
     best = jnp.min(t, axis=1)
     return Hit(t=best, index=idx, hit=jnp.isfinite(best))
 
 
-def closest_hit(origins, dirs, soup: TriangleSoup, *, impl: str = "auto") -> Hit:
+def closest_hit(
+    origins, dirs, soup: TriangleSoup, *, impl: str = "auto", t_max=None
+) -> Hit:
     """Dispatch between the XLA sweep and the Pallas kernel.
 
     impl: 'auto' | 'xla' | 'pallas'. 'auto' prefers the Pallas kernel on
     TPU backends when the batch is large enough to fill a tile.
     """
     if impl == "xla":
-        return closest_hit_xla(origins, dirs, soup)
+        return closest_hit_xla(origins, dirs, soup, t_max)
     if impl in ("pallas", "auto"):
         from . import intersect_pallas
 
         if impl == "pallas" or intersect_pallas.should_use_pallas(
             origins.shape[0], soup.num_padded
         ):
-            return intersect_pallas.closest_hit_pallas(origins, dirs, soup)
-    return closest_hit_xla(origins, dirs, soup)
+            return intersect_pallas.closest_hit_pallas(
+                origins, dirs, soup, t_max=t_max
+            )
+    return closest_hit_xla(origins, dirs, soup, t_max)
 
 
 def visible(begin, point, soup: TriangleSoup, *, impl: str = "auto") -> jax.Array:
@@ -275,5 +294,7 @@ def visible(begin, point, soup: TriangleSoup, *, impl: str = "auto") -> jax.Arra
     diff = point - begin
     mag = jnp.linalg.norm(diff, axis=-1)
     safe = jnp.where(mag[..., None] > 0, mag[..., None], 1.0)
-    hit = closest_hit(begin, diff / safe, soup, impl=impl)
+    hit = closest_hit(
+        begin, diff / safe, soup, impl=impl, t_max=mag * 1.001 + 0.01
+    )
     return (~hit.hit) | (hit.t > mag)

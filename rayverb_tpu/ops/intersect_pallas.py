@@ -4,9 +4,14 @@ Replaces the reference's per-work-item triangle loop
 (ray_triangle_intersection, reference rayverb/kernel.cpp:161-192) with a
 hierarchically-culled tiled (triangle-block x ray-block) sweep:
 
-  - grid (ray_blocks, tri_superblocks), triangle axis minormost: each ray
+  - grid (ray_blocks, tri_blocks), triangle axis minormost: each ray
     block's running (best_t, best_index) output block stays VMEM-resident
     across the whole triangle sweep (standard reduction-grid pattern)
+  - triangle blocks are visited NEAR-TO-FAR from the sweep's mean origin
+    (a scalar-prefetched traversal order drives the block index_map), so
+    the running best-t bound culls most far blocks after the first hits
+    resolve — the front-to-back early-out of a classic ray tracer,
+    expressed as a data-driven Pallas grid walk
   - triangles arrive Morton-ordered (intersect.build_sweep_table) so every
     TRI_BLOCK-row grid step is spatially compact and carries a conservative
     AABB. Each step slab-tests the ray block against its AABB — bounded
@@ -44,23 +49,38 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import EPSILON
 
 # Tile sizes: lanes (rays) must be a multiple of 128, sublanes (triangles)
-# a multiple of 8. (TB, RB) f32 planes of 256x512 = 512 KB; the kernel
-# keeps ~8 live planes plus the 256 KB superblock well under the ~16 MB
-# VMEM budget.
+# a multiple of 8. (TB, RB) f32 planes of 512x512 = 1 MB; the kernel keeps
+# ~8 live planes well under the ~16 MB VMEM budget. TRI_BLOCK must match
+# the soup's sweep-table block (intersect.SWEEP_BLOCK).
+from .intersect import SWEEP_BLOCK as TRI_BLOCK
+
 RAY_BLOCK = 512
-TRI_BLOCK = 256
 
 _BIG_I32 = np.int32(0x7FFFFFFF)
 
 
-def _kernel(aabb_ref, rays_ref, tris_ref, best_t_ref, best_i_ref):
-    # aabb_ref is scalar-prefetched (SMEM-resident, full (NB, 8) table)
+def _kernel(
+    order_ref, aabb_ref, rays_ref, tmax_ref, tris_ref, best_t_ref, best_i_ref
+):
+    # order_ref (NB,) and aabb_ref (NB, 8) are scalar-prefetched
+    # (SMEM-resident). order_ref holds the near-to-far traversal order of
+    # the triangle blocks from the sweep's mean origin: visiting close
+    # blocks first makes the running best-t bound below skip most of the
+    # remaining blocks' Möller-Trumbore work — front-to-back traversal,
+    # the way a BVH ray tracer earns its keep. The final (best_t, best_i)
+    # is order-independent (ties resolve by original index), so any
+    # traversal order is correct; a good one is just faster.
     tb = pl.program_id(1)
+    ob = order_ref[tb]
 
     @pl.when(tb == 0)
     def _init():
-        best_t_ref[...] = jnp.full_like(best_t_ref, jnp.inf)
-        best_i_ref[...] = jnp.zeros_like(best_i_ref)
+        # best_t starts at the caller's per-ray bound (inf for open-ended
+        # closest-hit; the target distance for point-to-point queries, so
+        # every block beyond the target culls immediately). best_i = -1
+        # marks "no hit yet" — a kept hit always has a real index.
+        best_t_ref[...] = tmax_ref[...]
+        best_i_ref[...] = jnp.full_like(best_i_ref, -1)
 
     # ray components: (1, RB) rows
     ox = rays_ref[0:1, :]
@@ -82,9 +102,9 @@ def _kernel(aabb_ref, rays_ref, tris_ref, best_t_ref, best_i_ref):
         tf = jnp.where(zero, jnp.where(inside, jnp.inf, -jnp.inf), tf)
         return tn, tf
 
-    tnx, tfx = slab_axis(ox, dx, aabb_ref[tb, 0], aabb_ref[tb, 3])
-    tny, tfy = slab_axis(oy, dy, aabb_ref[tb, 1], aabb_ref[tb, 4])
-    tnz, tfz = slab_axis(oz, dz, aabb_ref[tb, 2], aabb_ref[tb, 5])
+    tnx, tfx = slab_axis(ox, dx, aabb_ref[ob, 0], aabb_ref[ob, 3])
+    tny, tfy = slab_axis(oy, dy, aabb_ref[ob, 1], aabb_ref[ob, 4])
+    tnz, tfz = slab_axis(oz, dz, aabb_ref[ob, 2], aabb_ref[ob, 5])
     tn = jnp.maximum(jnp.maximum(tnx, tny), tnz)
     tf = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
     # a triangle hit t lies within [tn, tf]; only blocks that could beat
@@ -147,7 +167,14 @@ def _kernel(aabb_ref, rays_ref, tris_ref, best_t_ref, best_i_ref):
 
         bt = best_t_ref[...]
         bi = best_i_ref[...]
-        better = (tmin < bt) | ((tmin == bt) & (cand < bi))
+        # ties resolve to the lowest original index; a first hit exactly
+        # AT the initial bound is kept (the XLA sweep's t <= t_max is
+        # inclusive). The isfinite guard keeps hitless blocks (tmin = inf,
+        # where cand degenerates to the block's min index) from recording
+        # a bogus hit when the running best is also inf.
+        better = (tmin < bt) | (
+            (tmin == bt) & jnp.isfinite(tmin) & ((cand < bi) | (bi < 0))
+        )
         best_t_ref[...] = jnp.where(better, tmin, bt)
         best_i_ref[...] = jnp.where(better, cand, bi)
 
@@ -157,37 +184,44 @@ def _round_up(n: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _closest_hit_padded(rays_t, tris, aabbs, *, interpret: bool):
-    """rays_t: (8, Mp) f32; tris: (Tp, 16) f32 Morton-packed; aabbs:
-    (Tp/TRI_BLOCK, 8). Returns ((1, Mp) t, (1, Mp) original idx)."""
+def _closest_hit_padded(rays_t, tmax_row, tris, aabbs, order, *, interpret: bool):
+    """rays_t: (8, Mp) f32; tmax_row: (1, Mp) f32 per-ray initial bound;
+    tris: (Tp, 16) f32 Morton-packed; aabbs: (Tp/TRI_BLOCK, 8); order:
+    (Tp/TRI_BLOCK,) i32 traversal order. Returns ((1, Mp) t, (1, Mp)
+    original idx, -1 = miss)."""
     mp = rays_t.shape[1]
     tp = tris.shape[0]
     grid = (mp // RAY_BLOCK, tp // TRI_BLOCK)
     flops_per_pair = 55
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # the (NB, 8) AABB table, SMEM-resident
+        num_scalar_prefetch=2,  # traversal order + AABB table (SMEM)
         grid=grid,
         in_specs=[
             pl.BlockSpec(
                 (8, RAY_BLOCK),
-                lambda r, t, aabb: (0, r),
+                lambda r, t, order, aabb: (0, r),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, RAY_BLOCK),
+                lambda r, t, order, aabb: (0, r),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (TRI_BLOCK, 16),
-                lambda r, t, aabb: (t, 0),
+                lambda r, t, order, aabb: (order[t], 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
                 (1, RAY_BLOCK),
-                lambda r, t, aabb: (0, r),
+                lambda r, t, order, aabb: (0, r),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, RAY_BLOCK),
-                lambda r, t, aabb: (0, r),
+                lambda r, t, order, aabb: (0, r),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -205,7 +239,7 @@ def _closest_hit_padded(rays_t, tris, aabbs, *, interpret: bool):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(aabbs, rays_t, tris)
+    )(order, aabbs, rays_t, tmax_row, tris)
 
 
 def _block_padded(soup):
@@ -233,8 +267,10 @@ def should_use_pallas(num_rays: int, num_triangles: int) -> bool:
     return num_rays * num_triangles >= 256 * 256
 
 
-def closest_hit_pallas(origins, dirs, soup, *, interpret: bool | None = None):
-    """Contract-identical to intersect.closest_hit_xla."""
+def closest_hit_pallas(
+    origins, dirs, soup, *, interpret: bool | None = None, t_max=None
+):
+    """Contract-identical to intersect.closest_hit_xla (incl. t_max)."""
     from .intersect import Hit
 
     if interpret is None:
@@ -250,15 +286,33 @@ def closest_hit_pallas(origins, dirs, soup, *, interpret: bool | None = None):
         ],
         axis=0,
     )
+    if t_max is None:
+        tmax_row = jnp.full((1, m), jnp.inf, jnp.float32)
+    else:
+        tmax_row = jnp.asarray(t_max, jnp.float32).reshape(1, m)
     if mp != m:
         rays_t = jnp.concatenate(
             [rays_t, jnp.zeros((8, mp - m), jnp.float32)], axis=1
         )
+        # padded rays get bound 0: they skip every block outright
+        tmax_row = jnp.concatenate(
+            [tmax_row, jnp.zeros((1, mp - m), jnp.float32)], axis=1
+        )
 
     tris, aabbs = _block_padded(soup)
-    best_t, best_i = _closest_hit_padded(rays_t, tris, aabbs, interpret=interpret)
-    t = best_t[0, :m]
+    # near-to-far traversal order from the sweep's mean origin: close
+    # blocks resolve first, so the kernel's best-t bound culls most of the
+    # far blocks outright (empty padding blocks sit at 1e30 and sort last)
+    centers = 0.5 * (aabbs[:, 0:3] + aabbs[:, 3:6])
+    centroid = jnp.mean(jnp.asarray(origins, jnp.float32), axis=0)
+    d2 = jnp.sum((centers - centroid) ** 2, axis=-1)
+    order = jnp.argsort(d2).astype(jnp.int32)
+    best_t, best_i = _closest_hit_padded(
+        rays_t, tmax_row, tris, aabbs, order, interpret=interpret
+    )
     idx = best_i[0, :m]
+    found = idx >= 0
+    t = jnp.where(found, best_t[0, :m], jnp.inf)
     # padded triangle rows can never win (zero area => rejected), so idx
     # always points at a real triangle when hit is set
-    return Hit(t=t, index=idx, hit=jnp.isfinite(t))
+    return Hit(t=t, index=jnp.maximum(idx, 0), hit=found)

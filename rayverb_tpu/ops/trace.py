@@ -105,12 +105,34 @@ def _visible_from_hit(hit: Hit, mag):
     return (~hit.hit) | (hit.t > mag)
 
 
+def _sweep_bound(mag):
+    """Per-ray t_max for point-to-point sweeps (shadow rays, image path
+    validation, image mic visibility): their verdicts depend only on hits
+    at or slightly beyond the target distance `mag` —
+
+      - visibility: a blocker found in (mag, bound] still reads as
+        'beyond the target' (visible); one beyond the bound reads as
+        'no hit' (also visible); blockers at t <= mag are inside the bound
+      - segment validation: a closest hit past the segment endpoint fails
+        the endpoint check whether it is found or culled
+
+    so initialising the sweep's best-t at the bound changes no result
+    while letting the kernel cull every triangle block beyond the target.
+    The slack comfortably covers the EPSILON endpoint tolerance.
+    """
+    return mag * 1.001 + 0.01
+
+
 def _direct_image(soup, mic, source, impl):
     """Slot-0 direct-path image impulse (kernel.cpp:335-357)."""
     diff = source - mic
     dist = jnp.linalg.norm(diff)
     hit = closest_hit(
-        source[None, :], _safe_normalize(mic - source)[None, :], soup, impl=impl
+        source[None, :],
+        _safe_normalize(mic - source)[None, :],
+        soup,
+        impl=impl,
+        t_max=_sweep_bound(dist)[None],
     )
     vis = _visible_from_hit(hit, dist)[0]
     vol = jnp.where(vis, _air_attenuation(dist), 0.0)
@@ -272,7 +294,18 @@ def _trace_impl(
             ],
             axis=0,
         )
-        sweep = closest_hit(origins, dirs, soup, impl=impl)
+        # every row is a point-to-point query with a known target distance
+        bounds = _sweep_bound(
+            jnp.concatenate(
+                [
+                    jnp.linalg.norm(to_mic_diffuse, axis=-1),
+                    jnp.linalg.norm(seg_vec, axis=-1).reshape(n * k1),
+                    jnp.linalg.norm(to_mic_image, axis=-1),
+                ],
+                axis=0,
+            )
+        )
+        sweep = closest_hit(origins, dirs, soup, impl=impl, t_max=bounds)
         h_shadow = Hit(sweep.t[:n], sweep.index[:n], sweep.hit[:n])
         h_seg = Hit(
             sweep.t[n : n + n * k1].reshape(n, k1),
@@ -338,8 +371,15 @@ def _trace_impl(
             t_safe = jnp.where(bounce.hit, bounce.t, 0.0)
             intersection = st.pos + st.dir * t_safe[:, None]
             to_mic = mic - intersection
-            shadow = closest_hit(intersection, _safe_normalize(to_mic), soup, impl=impl)
-            vis = _visible_from_hit(shadow, jnp.linalg.norm(to_mic, axis=-1))
+            mag = jnp.linalg.norm(to_mic, axis=-1)
+            shadow = closest_hit(
+                intersection,
+                _safe_normalize(to_mic),
+                soup,
+                impl=impl,
+                t_max=_sweep_bound(mag),
+            )
+            vis = _visible_from_hit(shadow, mag)
             st2, _, _, row = _diffuse_impulse(soup, mic, st, bounce, vis, t_safe)
             if consume_row is None:
                 return (st2, ax), row
