@@ -56,6 +56,11 @@ MAX_HIST_LEN = 1 << 23  # ~190 s at 44.1 kHz; hard cap on the static bound
 
 RAY_BLOCK_SORT = 512  # Morton-sort rays when several sweep tiles are in play
 
+# Issued pair tests per dispatched trace segment (~4 s of sweep work at the
+# measured ~85 G effective pair-tests/s). The tunneled TPU worker kills
+# single programs that execute for minutes, so the chunk scan is split.
+SEG_PAIR_BUDGET = int(3e11)
+
 # Ray populations up to this size trace as ONE single-pass program (full-
 # width sweeps, rows binned in place); larger populations fall back to the
 # chunked multi-dispatch path to bound per-program working set.
@@ -429,6 +434,7 @@ def _fused_trace_all(
     directions,   # (K, chunk, 3)
     nvalid,       # (K,) int32
     spec_arrays,
+    carry_in,     # (hist (C,8,L), max_t, min_t) running accumulators
     *,
     nreflections: int,
     length: int,
@@ -437,10 +443,13 @@ def _fused_trace_all(
     spec_static,
     include_diffuse: bool,
 ):
-    """The whole multi-chunk trace+bin phase as ONE compiled program:
-    lax.scan over ray chunks carrying the energy histogram and time
-    bounds. On tunneled backends this collapses ~3 dispatches + 2 scalar
-    pulls per chunk into a single dispatch for the entire trace.
+    """One trace+bin SEGMENT as one compiled program: lax.scan over ray
+    chunks carrying the energy histogram and time bounds (accumulating
+    into `carry_in` so segments chain). On tunneled backends this
+    collapses ~3 dispatches + 2 scalar pulls per chunk into a single
+    dispatch per segment; render_fused bounds each segment's device time
+    because the tunneled worker kills single programs that run for
+    minutes.
 
     Returns (hist (C,8,L), max_t, min_t, img tuple flattened over rays).
     """
@@ -481,13 +490,8 @@ def _fused_trace_all(
         )
         return carry, ys
 
-    carry0 = (
-        jnp.zeros((nchannels, NUM_BANDS, length), jnp.float32),
-        jnp.float32(0.0),
-        jnp.float32(jnp.inf),
-    )
     (hist, max_t, min_t), ys = jax.lax.scan(
-        body, carry0, (directions, nvalid)
+        body, carry_in, (directions, nvalid)
     )
     s = NUM_IMAGE_SOURCE
     imgs = tuple(
@@ -909,19 +913,56 @@ def render_fused(
         counts = np.minimum(
             np.maximum(n - np.arange(nchunks) * chunk, 0), chunk
         ).astype(np.int32)
-        hist, max_t_dev, min_t_dev, imgs = _fused_trace_all(
-            soup,
-            config.mic_position,
-            config.source_position,
-            directions.reshape(nchunks, chunk, 3),
-            counts,
-            spec_arrays,
-            nreflections=config.reflections,
-            length=length,
-            sample_rate=config.sample_rate,
-            impl=impl,
-            spec_static=spec_static,
-            include_diffuse=include_diffuse,
+        # bound each dispatched program's device time: the tunneled TPU
+        # worker kills programs that run for minutes (observed at the 1M-ray
+        # x 100k-tri scan), so the chunk scan is split into segments of
+        # ~SEG_PAIR_BUDGET issued pair tests (~4 s of sweep work each),
+        # chained through the carried histogram. All segments share one
+        # compiled program (equal chunk counts; trailing zero-count chunks
+        # are fully masked).
+        est = max(sweep_pair_tests(chunk, soup.num_padded, config.reflections), 1)
+        seg = int(max(1, min(nchunks, SEG_PAIR_BUDGET // est)))
+        nseg = -(-nchunks // seg)
+        pad_chunks = nseg * seg
+        dirs_all = directions.reshape(nchunks, chunk, 3)
+        if pad_chunks != nchunks:
+            extra = np.zeros((pad_chunks - nchunks, chunk, 3), np.float32)
+            extra[..., 2] = 1.0
+            dirs_all = np.concatenate([dirs_all, extra], axis=0)
+            counts = np.concatenate(
+                [counts, np.zeros(pad_chunks - nchunks, np.int32)]
+            )
+        carry = (
+            jnp.zeros((spec.nchannels, NUM_BANDS, length), jnp.float32),
+            jnp.float32(0.0),
+            jnp.float32(jnp.inf),
+        )
+        img_parts = []
+        for s in range(nseg):
+            sl = slice(s * seg, (s + 1) * seg)
+            hist, max_t_dev, min_t_dev, part = _fused_trace_all(
+                soup,
+                config.mic_position,
+                config.source_position,
+                dirs_all[sl],
+                counts[sl],
+                spec_arrays,
+                carry,
+                nreflections=config.reflections,
+                length=length,
+                sample_rate=config.sample_rate,
+                impl=impl,
+                spec_static=spec_static,
+                include_diffuse=include_diffuse,
+            )
+            carry = (hist, max_t_dev, min_t_dev)
+            img_parts.append(part)
+        imgs = (
+            img_parts[0]
+            if len(img_parts) == 1
+            else tuple(
+                jnp.concatenate(parts, axis=0) for parts in zip(*img_parts)
+            )
         )
     if stats:
         jax.block_until_ready(hist)
