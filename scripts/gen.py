@@ -196,10 +196,14 @@ def main(argv=None) -> int:
     parser.add_argument("--pipeline", default="fused", choices=("fused", "modular"))
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--dry-run", action="store_true")
+    parser.add_argument(
+        "--per-render-timeout", type=int, default=1200,
+        help="seconds before a render subprocess is killed and retried "
+        "once (the tunneled TPU's remote compiler occasionally wedges)",
+    )
     args = parser.parse_args(argv)
 
-    sys.path.insert(0, REPO)
-    from rayverb_tpu.cli import main as cli_main
+    import subprocess
 
     todo = [c for c in COMBOS if args.only is None or c[1] == args.only]
     if args.limit:
@@ -211,7 +215,12 @@ def main(argv=None) -> int:
         out_dir = os.path.join(args.outdir, model)
         os.makedirs(out_dir, exist_ok=True)
         out = os.path.join(out_dir, f"{model}_{config}_{material}.{args.ext}")
-        argv_i = [
+        # one subprocess per render (the reference's gen.sh invoked the
+        # binary per render too): a wedged remote compile only costs the
+        # timeout, not the whole corpus, and every successful compile
+        # lands in the persistent cache for the retry
+        cmd = [
+            sys.executable, "-m", "rayverb_tpu.cli",
             os.path.join(REPO, "assets", "configs", f"{config}.json"),
             os.path.join(REPO, "assets", "test_models", f"{model}.obj"),
             os.path.join(REPO, "assets", "materials", f"{material}.json"),
@@ -222,7 +231,21 @@ def main(argv=None) -> int:
         print(f"[{i + 1}/{len(todo)}] {model} x {config} x {material}", flush=True)
         if args.dry_run:
             continue
-        rc = cli_main(argv_i)
+        rc = None
+        for attempt in (1, 2):
+            try:
+                rc = subprocess.run(
+                    cmd, cwd=REPO, timeout=args.per_render_timeout
+                ).returncode
+            except subprocess.TimeoutExpired:
+                rc = -1
+                print(
+                    f"  attempt {attempt} timed out after "
+                    f"{args.per_render_timeout}s",
+                    file=sys.stderr, flush=True,
+                )
+            if rc == 0:
+                break
         if rc != 0:
             failures += 1
             print(f"  FAILED (rc={rc})", file=sys.stderr)
