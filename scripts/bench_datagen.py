@@ -23,14 +23,23 @@ def main():
     ap.add_argument("--reflections", type=int, default=16)
     ap.add_argument("--model", default="vault")
     ap.add_argument("--materials", default="vault")
+    ap.add_argument(
+        "--cpu", action="store_true", help="force the JAX CPU backend (smoke)"
+    )
     args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     sys.path.insert(0, REPO)
     import numpy as np
 
     from rayverb_tpu import load_scene
     from rayverb_tpu.config.schema import parse_config
-    from rayverb_tpu.parallel.datagen import render_batch
+    from rayverb_tpu.parallel.datagen import render_irs_batched
     from rayverb_tpu.utils.directions import random_directions
 
     scene = load_scene(
@@ -65,11 +74,11 @@ def main():
     )
 
     # warm-up compile
-    irs, contents = render_batch(scene, cfg, sources, mics, dirs)
+    irs, contents = render_irs_batched(scene, cfg, sources, mics, dirs)
     np.asarray(irs)
 
     t0 = time.perf_counter()
-    irs, contents = render_batch(scene, cfg, sources, mics, dirs)
+    irs, contents = render_irs_batched(scene, cfg, sources, mics, dirs)
     np.asarray(irs)
     wall = time.perf_counter() - t0
 
