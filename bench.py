@@ -67,20 +67,22 @@ def _north_star_config():
     )
 
 
-def run(cfg, scene, ray_chunk, seed=1234):
+def run(cfg, scene, ray_chunk, seed=1234, stats=False):
     from rayverb_tpu.ops.render import render_fused
     from rayverb_tpu.utils.directions import random_directions
 
     dirs = random_directions(cfg.rays, seed=seed)
 
     # warm-up: compiles the fused chunk + finalize programs
-    render_fused(scene, cfg, dirs, ray_chunk=ray_chunk)
+    render_fused(scene, cfg, dirs, ray_chunk=ray_chunk, stats=stats)
 
     t0 = time.perf_counter()
-    channels, info = render_fused(scene, cfg, dirs, ray_chunk=ray_chunk)
+    channels, info = render_fused(
+        scene, cfg, dirs, ray_chunk=ray_chunk, stats=stats
+    )
     wall = time.perf_counter() - t0
     assert channels.size > 0
-    return cfg.rays * cfg.reflections, wall
+    return cfg.rays * cfg.reflections, wall, info
 
 
 def main():
@@ -95,14 +97,26 @@ def main():
             os.path.join(REPO, "assets/test_models/vault.obj"),
             os.path.join(REPO, "assets/materials/vault.json"),
         )
-        vault_bounces, vault_wall = run(vault_cfg, vault_scene, ray_chunk=4096)
+        vault_bounces, vault_wall, _ = run(vault_cfg, vault_scene, ray_chunk=4096)
 
         # --- north-star workload: 1M rays x 16 bounces, 100k-tri hall ---
         ns_cfg = _north_star_config()
         ns_scene = load_scene(_hall_path(), os.path.join(REPO, "assets/materials/mat.json"))
-        ns_bounces, ns_wall = run(
-            ns_cfg, ns_scene, ray_chunk=int(os.environ.get("RAYVERB_BENCH_CHUNK", 16384))
+        ns_bounces, ns_wall, ns_info = run(
+            ns_cfg,
+            ns_scene,
+            ray_chunk=int(os.environ.get("RAYVERB_BENCH_CHUNK", 16384)),
+            stats=True,
         )
+
+        # --- issued vs executed (post-cull) pair tests: single-pass probe
+        # at 64k rays with the kernel's surviving-work counters on ---
+        import dataclasses
+
+        os.environ["RAYVERB_SWEEP_STATS"] = "1"
+        probe_cfg = dataclasses.replace(ns_cfg, rays=65536)
+        _, _, probe_info = run(probe_cfg, ns_scene, ray_chunk=4096, stats=True)
+        del os.environ["RAYVERB_SWEEP_STATS"]
     except Exception as e:  # pragma: no cover - transient backend failures
         # every program compiled before the failure is in the persistent
         # cache; a fresh process picks up where this one died
@@ -126,6 +140,31 @@ def main():
                 "north_star_wall_s": round(ns_wall, 3),
                 "vault_ray_bounces_per_s": round(vault_value, 1),
                 "vault_wall_s": round(vault_wall, 3),
+                "north_star_pair_tests_issued": ns_info.get(
+                    "pair_tests_issued"
+                ),
+                "north_star_pair_tests_issued_per_s": round(
+                    ns_info.get("pair_tests_per_s", 0.0), 1
+                ),
+                # post-cull work observability (64k-ray single-pass probe,
+                # same hall): issued vs kernel-executed pair tests and the
+                # executed fraction — how much the admission gates + AABB
+                # cull shrink the brute-force sweep
+                "probe_pair_tests_issued": probe_info.get("pair_tests_issued"),
+                "probe_pair_tests_executed": round(
+                    probe_info.get("pair_tests_executed_total", 0.0)
+                ),
+                "probe_executed_fraction": round(
+                    probe_info.get("pair_tests_executed_total", 0.0)
+                    / max(probe_info.get("pair_tests_issued", 1), 1),
+                    4,
+                ),
+                "probe_executed_by_kind": {
+                    k: round(v)
+                    for k, v in probe_info.get(
+                        "pair_tests_executed", {}
+                    ).items()
+                },
             }
         )
     )

@@ -109,7 +109,14 @@ def build_sweep_table(v0, e0, e1, block: int = SWEEP_BLOCK):
     q = np.clip(((centroid - lo) / span * 1023.0), 0, 1023).astype(np.uint32)
     order = np.argsort(_morton3(q), kind="stable").astype(np.int64)
 
-    tp = ((t + block - 1) // block) * block
+    # block count rounds up to a power of two: the packed table's shape is
+    # a compile key of every sweep program, and remote TPU compiles cost
+    # minutes — quantising it lets differently-sized scenes share compiled
+    # programs. Padding blocks carry far-away AABBs (below) so the kernel
+    # culls them outright; their zero-area rows can never hit.
+    nb = max(1, -(-t // block))
+    nb = 1 << (nb - 1).bit_length()
+    tp = nb * block
     packed = np.zeros((tp, 16), np.float32)
     packed[:t, 0:3] = v0[order]
     packed[:t, 3:6] = e0[order]
@@ -267,25 +274,39 @@ def closest_hit_xla(origins, dirs, soup: TriangleSoup, t_max=None) -> Hit:
 
 
 def closest_hit(
-    origins, dirs, soup: TriangleSoup, *, impl: str = "auto", t_max=None
-) -> Hit:
+    origins,
+    dirs,
+    soup: TriangleSoup,
+    *,
+    impl: str = "auto",
+    t_max=None,
+    with_stats: bool = False,
+):
     """Dispatch between the XLA sweep and the Pallas kernel.
 
     impl: 'auto' | 'xla' | 'pallas'. 'auto' prefers the Pallas kernel on
     TPU backends when the batch is large enough to fill a tile.
+
+    with_stats=True returns (Hit, executed_pairs (ntiles,) float32): the
+    pair tests actually run post-cull, per 512-lane ray tile (the
+    brute-force XLA sweep executes everything issued).
     """
-    if impl == "xla":
-        return closest_hit_xla(origins, dirs, soup, t_max)
-    if impl in ("pallas", "auto"):
+    if impl in ("pallas", "auto") and impl != "xla":
         from . import intersect_pallas
 
         if impl == "pallas" or intersect_pallas.should_use_pallas(
             origins.shape[0], soup.num_padded
         ):
             return intersect_pallas.closest_hit_pallas(
-                origins, dirs, soup, t_max=t_max
+                origins, dirs, soup, t_max=t_max, with_stats=with_stats
             )
-    return closest_hit_xla(origins, dirs, soup, t_max)
+    hit = closest_hit_xla(origins, dirs, soup, t_max)
+    if not with_stats:
+        return hit
+    m = origins.shape[0]
+    ntiles = -(-m // 512)
+    per = np.float32(m * soup.num_padded / max(ntiles, 1))
+    return hit, jnp.full((ntiles,), per, jnp.float32)
 
 
 def visible(begin, point, soup: TriangleSoup, *, impl: str = "auto") -> jax.Array:

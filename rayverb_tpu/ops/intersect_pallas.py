@@ -60,16 +60,29 @@ _BIG_I32 = np.int32(0x7FFFFFFF)
 
 
 def _kernel(
-    order_ref, aabb_ref, rays_ref, tmax_ref, tris_ref, best_t_ref, best_i_ref
+    order_ref,
+    aabb_ref,
+    live_ref,
+    rays_ref,
+    tmax_ref,
+    tris_ref,
+    best_t_ref,
+    best_i_ref,
+    cnt_ref=None,
 ):
-    # order_ref (NB,) and aabb_ref (NB, 8) are scalar-prefetched
-    # (SMEM-resident). order_ref holds the near-to-far traversal order of
-    # the triangle blocks from the sweep's mean origin: visiting close
-    # blocks first makes the running best-t bound below skip most of the
-    # remaining blocks' Möller-Trumbore work — front-to-back traversal,
-    # the way a BVH ray tracer earns its keep. The final (best_t, best_i)
-    # is order-independent (ties resolve by original index), so any
-    # traversal order is correct; a good one is just faster.
+    # order_ref (NB,), aabb_ref (NB, 8) and live_ref (ray tiles,) are
+    # scalar-prefetched (SMEM-resident). order_ref holds the near-to-far
+    # traversal order of the triangle blocks from the sweep's mean origin:
+    # visiting close blocks first makes the running best-t bound below skip
+    # most of the remaining blocks' Möller-Trumbore work — front-to-back
+    # traversal, the way a BVH ray tracer earns its keep. The final
+    # (best_t, best_i) is order-independent (ties resolve by original
+    # index), so any traversal order is correct; a good one is just faster.
+    # live_ref marks ray tiles with at least one row of positive bound:
+    # dead tiles (padding, or rows neutralized by the trace's admission
+    # gates) skip slab tests AND their triangle DMAs (the index_map pins
+    # them to block 0, so the pipeline never re-fetches).
+    rb = pl.program_id(0)
     tb = pl.program_id(1)
     ob = order_ref[tb]
 
@@ -81,6 +94,10 @@ def _kernel(
         # marks "no hit yet" — a kept hit always has a real index.
         best_t_ref[...] = tmax_ref[...]
         best_i_ref[...] = jnp.full_like(best_i_ref, -1)
+        if cnt_ref is not None:
+            cnt_ref[...] = jnp.zeros_like(cnt_ref)
+
+    live = live_ref[rb] > 0
 
     # ray components: (1, RB) rows
     ox = rays_ref[0:1, :]
@@ -110,10 +127,15 @@ def _kernel(
     # a triangle hit t lies within [tn, tf]; only blocks that could beat
     # the running best (ties included — a tie may resolve to a lower
     # original index) and clear the t > EPSILON gate matter
-    possible = (tf >= jnp.maximum(tn, EPSILON)) & (tn <= best_t_ref[...])
+    possible = live & (tf >= jnp.maximum(tn, EPSILON)) & (tn <= best_t_ref[...])
 
     @pl.when(jnp.any(possible))
     def _mt():
+        if cnt_ref is not None:
+            # count of SURVIVING (MT-executed) blocks for this ray tile,
+            # broadcast across its lanes — the post-cull work observability
+            # SURVEY.md §5 calls for
+            cnt_ref[...] = cnt_ref[...] + 1
         # triangle constants: (TB, 1) columns
         v0x = tris_ref[:, 0:1]
         v0y = tris_ref[:, 1:2]
@@ -183,63 +205,78 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _closest_hit_padded(rays_t, tmax_row, tris, aabbs, order, *, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "with_stats"))
+def _closest_hit_padded(
+    rays_t,
+    tmax_row,
+    tris,
+    aabbs,
+    order,
+    live,
+    *,
+    interpret: bool,
+    with_stats: bool = False,
+):
     """rays_t: (8, Mp) f32; tmax_row: (1, Mp) f32 per-ray initial bound;
     tris: (Tp, 16) f32 Morton-packed; aabbs: (Tp/TRI_BLOCK, 8); order:
-    (Tp/TRI_BLOCK,) i32 traversal order. Returns ((1, Mp) t, (1, Mp)
-    original idx, -1 = miss)."""
+    (Tp/TRI_BLOCK,) i32 traversal order; live: (Mp/RAY_BLOCK,) i32 per-ray-
+    tile any-positive-bound flags. Returns ((1, Mp) t, (1, Mp) original
+    idx, -1 = miss)."""
     mp = rays_t.shape[1]
     tp = tris.shape[0]
     grid = (mp // RAY_BLOCK, tp // TRI_BLOCK)
     flops_per_pair = 55
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # traversal order + AABB table (SMEM)
+        num_scalar_prefetch=3,  # traversal order + AABB table + tile flags
         grid=grid,
         in_specs=[
             pl.BlockSpec(
                 (8, RAY_BLOCK),
-                lambda r, t, order, aabb: (0, r),
+                lambda r, t, order, aabb, live: (0, r),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, RAY_BLOCK),
-                lambda r, t, order, aabb: (0, r),
+                lambda r, t, order, aabb, live: (0, r),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (TRI_BLOCK, 16),
-                lambda r, t, order, aabb: (order[t], 0),
+                # dead ray tiles pin their triangle operand to block 0, so
+                # the pipeline issues no fresh DMA across their whole sweep
+                lambda r, t, order, aabb, live: (
+                    jnp.where(live[r] > 0, order[t], 0),
+                    0,
+                ),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
                 (1, RAY_BLOCK),
-                lambda r, t, order, aabb: (0, r),
+                lambda r, t, order, aabb, live: (0, r),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, RAY_BLOCK),
-                lambda r, t, order, aabb: (0, r),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        ]
+        * (3 if with_stats else 2),
     )
+    out_shape = [
+        jax.ShapeDtypeStruct((1, mp), jnp.float32),
+        jax.ShapeDtypeStruct((1, mp), jnp.int32),
+    ]
+    if with_stats:
+        out_shape.append(jax.ShapeDtypeStruct((1, mp), jnp.int32))
     return pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, mp), jnp.float32),
-            jax.ShapeDtypeStruct((1, mp), jnp.int32),
-        ],
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pair * mp * tp,
             bytes_accessed=rays_t.size * 4 + tris.size * 4 * grid[0] + mp * 8,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(order, aabbs, rays_t, tmax_row, tris)
+    )(order, aabbs, live, rays_t, tmax_row, tris)
 
 
 def _block_padded(soup):
@@ -268,9 +305,19 @@ def should_use_pallas(num_rays: int, num_triangles: int) -> bool:
 
 
 def closest_hit_pallas(
-    origins, dirs, soup, *, interpret: bool | None = None, t_max=None
+    origins,
+    dirs,
+    soup,
+    *,
+    interpret: bool | None = None,
+    t_max=None,
+    with_stats: bool = False,
 ):
-    """Contract-identical to intersect.closest_hit_xla (incl. t_max)."""
+    """Contract-identical to intersect.closest_hit_xla (incl. t_max).
+
+    with_stats=True additionally returns the ray-triangle pair tests the
+    kernel actually EXECUTED after AABB/best-t culling, per 512-lane ray
+    tile: (Hit, executed_pairs (ntiles,) float32)."""
     from .intersect import Hit
 
     if interpret is None:
@@ -304,15 +351,44 @@ def closest_hit_pallas(
     # blocks resolve first, so the kernel's best-t bound culls most of the
     # far blocks outright (empty padding blocks sit at 1e30 and sort last)
     centers = 0.5 * (aabbs[:, 0:3] + aabbs[:, 3:6])
-    centroid = jnp.mean(jnp.asarray(origins, jnp.float32), axis=0)
+    # mean origin over LIVE rows only: neutralized rows are parked far
+    # outside the scene and would otherwise wreck the near-to-far order
+    w = (tmax_row[0, :m] > 0).astype(jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    centroid = (
+        jnp.sum(jnp.asarray(origins, jnp.float32) * w[:, None], axis=0) / wsum
+    )
     d2 = jnp.sum((centers - centroid) ** 2, axis=-1)
     order = jnp.argsort(d2).astype(jnp.int32)
-    best_t, best_i = _closest_hit_padded(
-        rays_t, tmax_row, tris, aabbs, order, interpret=interpret
+    live = (
+        (tmax_row > 0)
+        .reshape(mp // RAY_BLOCK, RAY_BLOCK)
+        .any(axis=1)
+        .astype(jnp.int32)
     )
+    outs = _closest_hit_padded(
+        rays_t,
+        tmax_row,
+        tris,
+        aabbs,
+        order,
+        live,
+        interpret=interpret,
+        with_stats=with_stats,
+    )
+    best_t, best_i = outs[0], outs[1]
     idx = best_i[0, :m]
     found = idx >= 0
     t = jnp.where(found, best_t[0, :m], jnp.inf)
     # padded triangle rows can never win (zero area => rejected), so idx
     # always points at a real triangle when hit is set
-    return Hit(t=t, index=jnp.maximum(idx, 0), hit=found)
+    hit = Hit(t=t, index=jnp.maximum(idx, 0), hit=found)
+    if not with_stats:
+        return hit
+    # per-tile executed-block counts are broadcast across lanes; one lane
+    # per tile suffices. float32 keeps the counts overflow-free (stats are
+    # reported at ~1e-7 relative precision, plenty for observability).
+    executed_per_tile = outs[2][0, ::RAY_BLOCK].astype(
+        jnp.float32
+    ) * np.float32(TRI_BLOCK * RAY_BLOCK)
+    return hit, executed_per_tile

@@ -257,54 +257,71 @@ def _chunk_core(
     impl: str,
     include_diffuse: bool,
     init_hist=None,
+    resort: bool = False,
 ) -> ChunkOut:
     """Trace one ray chunk and bin its diffuse contribution (accumulating
     into `init_hist` when given). Shared by the jitted single-chunk entry
-    and the whole-render lax.scan."""
+    and the whole-render lax.scan.
+
+    Uses the consume-path trace: each bounce's rows scatter into the
+    carried histogram the moment they exist (the (N, R) impulse arrays
+    never materialise), padding rays are silenced by nvalid volume
+    zeroing, and with resort=True the ray population is re-sorted between
+    bounces to keep sweep tiles spatially coherent (image emissions come
+    back in original ray order, see trace._trace_impl)."""
+    from .trace import _trace_impl
+
     mic = jnp.asarray(mic, jnp.float32)
     source = jnp.asarray(source, jnp.float32)
+    n = directions.shape[0]
 
-    out = trace_chunk(
-        soup, mic, source, directions, nreflections=nreflections, impl=impl
-    )
-    n, r = out.diffuse_time.shape
-    # rays beyond nvalid are chunk padding: everything they produced is
-    # masked out here (the modular driver instead slices them off)
-    ray_ok = jnp.arange(n) < nvalid
-
-    if include_diffuse:
-        vol = jnp.where(
-            ray_ok[:, None, None], out.diffuse_volume, 0.0
-        ).reshape(n * r, NUM_BANDS)
-        pos = out.diffuse_position.reshape(n * r, 3)
-        tim = out.diffuse_time.reshape(n * r)
-        hist, min_t, max_t = _attenuate_and_bin(
-            mic, vol, pos, tim, spec, length, sample_rate,
-            predelay=None, init_hist=init_hist,
-        )
-    else:
-        # diffuse impulses are outside the output population: they do not
-        # participate in predelay (findPredelay runs over the selected set)
-        min_t, max_t = jnp.float32(jnp.inf), jnp.float32(0.0)
-        if init_hist is not None:
-            hist = init_hist
-        else:
-            hist = jnp.zeros(
-                (spec.nchannels, NUM_BANDS, length), jnp.float32
+    def consume(aux, row):
+        hist, mx, mn = aux
+        vol, pos, tim = row
+        if include_diffuse:
+            hist, row_mn, row_mx = _attenuate_and_bin(
+                mic, vol, pos, tim, spec, length, sample_rate,
+                predelay=None, init_hist=hist,
             )
+            mx = jnp.maximum(mx, row_mx)
+            mn = jnp.minimum(mn, row_mn)
+        # with include_diffuse False the diffuse population is outside the
+        # output set and does not participate in predelay
+        return hist, mx, mn
 
-    h1, h2 = chain_hashes(out.image_index)
+    hist0 = (
+        jnp.zeros((spec.nchannels, NUM_BANDS, length), jnp.float32)
+        if init_hist is None
+        else init_hist
+    )
+    aux0 = (hist0, jnp.float32(0.0), jnp.float32(jnp.inf))
+    (hist, max_t, min_t), images = _trace_impl(
+        soup,
+        mic,
+        source,
+        directions,
+        nreflections=nreflections,
+        impl=impl,
+        consume_row=consume,
+        aux0=aux0,
+        nvalid=nvalid,
+        resort=resort,
+    )
+    img_vol, img_pos, img_time, img_idx = images
+
+    h1, h2 = chain_hashes(img_idx)
     slots = jnp.broadcast_to(
         jnp.arange(NUM_IMAGE_SOURCE, dtype=jnp.int32)[None, :],
-        out.image_index.shape,
+        img_idx.shape,
     )
-    valid = ((slots == 0) | (out.image_index != 0)) & ray_ok[:, None]
+    ray_ok = jnp.arange(n) < nvalid
+    valid = ((slots == 0) | (img_idx != 0)) & ray_ok[:, None]
 
     return ChunkOut(
         hist=hist,
-        img_volume=out.image_volume,
-        img_position=out.image_position,
-        img_time=out.image_time,
+        img_volume=img_vol,
+        img_position=img_pos,
+        img_time=img_time,
         img_slot=slots,
         img_valid=valid,
         img_h1=h1,
@@ -316,7 +333,14 @@ def _chunk_core(
 
 @partial(
     jax.jit,
-    static_argnames=("nreflections", "length", "impl", "spec_static", "include_diffuse"),
+    static_argnames=(
+        "nreflections",
+        "length",
+        "impl",
+        "spec_static",
+        "include_diffuse",
+        "resort",
+    ),
 )
 def _fused_chunk(
     soup: TriangleSoup,
@@ -332,6 +356,7 @@ def _fused_chunk(
     impl: str,
     spec_static,
     include_diffuse: bool,
+    resort: bool = False,
 ) -> ChunkOut:
     is_hrtf, nchannels = spec_static
     spec = AttenSpec(is_hrtf, nchannels, *spec_arrays)
@@ -347,12 +372,21 @@ def _fused_chunk(
         sample_rate=sample_rate,
         impl=impl,
         include_diffuse=include_diffuse,
+        resort=resort,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("nreflections", "length", "impl", "spec_static", "include_diffuse"),
+    static_argnames=(
+        "nreflections",
+        "length",
+        "impl",
+        "spec_static",
+        "include_diffuse",
+        "resort",
+        "sweep_stats",
+    ),
 )
 def _fused_trace_bin(
     soup: TriangleSoup,
@@ -368,6 +402,8 @@ def _fused_trace_bin(
     impl: str,
     spec_static,
     include_diffuse: bool,
+    resort: bool = False,
+    sweep_stats: bool = False,
 ):
     """Single-pass fused trace: every diffuse bounce row is scattered into
     the carried (C, 8, L) histogram the moment it is produced, so the
@@ -386,7 +422,9 @@ def _fused_trace_bin(
     def consume(aux, row):
         hist, mx, mn = aux
         vol, pos, tim = row
-        vol = jnp.where(ray_ok[:, None], vol, 0.0)
+        # padding rays were silenced at trace start (nvalid volume zeroing),
+        # so rows need no per-ray masking here — which is what lets the
+        # trace re-sort rays freely between bounces
         if include_diffuse:
             # time stats use the *attenuated* (ITD-shifted) times, matching
             # findPredelay over AttenuatedImpulse (rayverb.h:49-73)
@@ -403,7 +441,7 @@ def _fused_trace_bin(
         jnp.float32(0.0),
         jnp.float32(jnp.inf),
     )
-    (hist, max_t, min_t), images = _trace_impl(
+    out = _trace_impl(
         soup,
         mic,
         source,
@@ -412,7 +450,12 @@ def _fused_trace_bin(
         impl=impl,
         consume_row=consume,
         aux0=aux0,
+        nvalid=nvalid,
+        resort=resort,
+        sweep_stats=sweep_stats,
     )
+    (hist, max_t, min_t), images = out[0], out[1]
+    trace_stats = out[2] if sweep_stats else None
     img_vol, img_pos, img_time, img_idx = images
     h1, h2 = chain_hashes(img_idx)
     slots = jnp.broadcast_to(
@@ -420,12 +463,21 @@ def _fused_trace_bin(
     )
     valid = ((slots == 0) | (img_idx != 0)) & ray_ok[:, None]
     imgs = (img_vol, img_pos, img_time, slots, valid, h1, h2)
+    if sweep_stats:
+        return hist, max_t, min_t, imgs, trace_stats
     return hist, max_t, min_t, imgs
 
 
 @partial(
     jax.jit,
-    static_argnames=("nreflections", "length", "impl", "spec_static", "include_diffuse"),
+    static_argnames=(
+        "nreflections",
+        "length",
+        "impl",
+        "spec_static",
+        "include_diffuse",
+        "resort",
+    ),
 )
 def _fused_trace_all(
     soup: TriangleSoup,
@@ -442,6 +494,7 @@ def _fused_trace_all(
     impl: str,
     spec_static,
     include_diffuse: bool,
+    resort: bool = False,
 ):
     """One trace+bin SEGMENT as one compiled program: lax.scan over ray
     chunks carrying the energy histogram and time bounds (accumulating
@@ -473,6 +526,7 @@ def _fused_trace_all(
             impl=impl,
             include_diffuse=include_diffuse,
             init_hist=hist,
+            resort=resort,
         )
         carry = (
             out.hist,
@@ -802,12 +856,22 @@ def finalize_filter_params(
 
 
 def histogram_length(scene, nreflections: int, sample_rate: float) -> int:
-    """Static scene-derived upper bound on the IR length."""
+    """Static scene-derived upper bound on the IR length, rounded up to a
+    power of two.
+
+    The rounding is a compile-key quantisation: `length` is a static shape
+    of the trace+bin program, and on tunneled TPU backends every distinct
+    program costs minutes of remote compilation. Collapsing the per-scene
+    bound to the next power of two lets a whole demo corpus of different
+    rooms share a handful of compiled programs. The bound only gates the
+    scatter target size; the finalize bucket already trims to content.
+    """
     lo, hi = np.asarray(scene.bounds)
     diag = float(np.linalg.norm(hi - lo))
     max_t = ((nreflections + 2) * max(diag, 1.0) + 1.0) * SECONDS_PER_METER
     length = int(np.floor(max_t * sample_rate + 0.5)) + 8
-    return min(max(length, 256), MAX_HIST_LEN)
+    length = 1 << (max(length, 256) - 1).bit_length()
+    return min(length, MAX_HIST_LEN)
 
 
 def sweep_pair_tests(nrays: int, ntris: int, nreflections: int) -> int:
@@ -884,6 +948,11 @@ def render_fused(
     include_diffuse = config.output_mode in (OutputMode.ALL, OutputMode.DIFFUSE_ONLY)
     include_images = config.output_mode in (OutputMode.ALL, OutputMode.IMAGE_ONLY)
 
+    # per-bounce ray re-sorting feeds the sweep kernel's AABB cull; only
+    # worth the in-program argsorts when the scene has enough triangle
+    # blocks for culling to matter and the population fills several tiles
+    resort = bool(n >= 4096 and soup.block_aabb.shape[0] >= 32)
+
     # filter parameters (host-precomputed, single finalize compile);
     # recomputed below when the content bucket is smaller than the bound
     filter_params, flips, nfft, filter_method = finalize_filter_params(
@@ -892,10 +961,12 @@ def render_fused(
 
     # the entire trace+bin phase is ONE compiled program; only two
     # time-bound scalars come back before finalize
+    sweep_stats = bool(stats and os.environ.get("RAYVERB_SWEEP_STATS"))
+    trace_stats = None
     if n <= RAY_PROGRAM_LIMIT:
         # single pass over all rays: sweeps run at full width and bounce
         # rows scatter straight into the carried histogram
-        hist, max_t_dev, min_t_dev, imgs = _fused_trace_bin(
+        out = _fused_trace_bin(
             soup,
             config.mic_position,
             config.source_position,
@@ -908,7 +979,13 @@ def render_fused(
             impl=impl,
             spec_static=spec_static,
             include_diffuse=include_diffuse,
+            resort=resort,
+            sweep_stats=sweep_stats,
         )
+        if sweep_stats:
+            hist, max_t_dev, min_t_dev, imgs, trace_stats = out
+        else:
+            hist, max_t_dev, min_t_dev, imgs = out
     else:
         counts = np.minimum(
             np.maximum(n - np.arange(nchunks) * chunk, 0), chunk
@@ -954,6 +1031,7 @@ def render_fused(
                 impl=impl,
                 spec_static=spec_static,
                 include_diffuse=include_diffuse,
+                resort=resort,
             )
             carry = (hist, max_t_dev, min_t_dev)
             img_parts.append(part)
@@ -1055,6 +1133,17 @@ def render_fused(
         info["pair_tests_issued"] = pairs
         info["pair_tests_per_s"] = pairs / max(timings["trace_bin"], 1e-9)
         info["ray_bounces_per_s"] = n * config.reflections / max(total, 1e-9)
+        if trace_stats is not None:
+            # post-cull pair tests the kernel actually executed, split by
+            # sweep kind (RAYVERB_SWEEP_STATS=1; single-pass path only)
+            executed = {k: float(v) for k, v in trace_stats.items()}
+            info["pair_tests_executed"] = executed
+            info["pair_tests_executed_total"] = sum(executed.values())
+            # executed-pair throughput vs the VPU-bound kernel ceiling
+            # (measured ~120 G pair-tests/s on v5e at 55 flops/pair)
+            info["pair_tests_executed_per_s"] = info[
+                "pair_tests_executed_total"
+            ] / max(timings["trace_bin"], 1e-9)
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)
     return channels, info

@@ -55,6 +55,44 @@ enable_compilation_cache()
 
 DEFAULT_RAY_CHUNK = 4096  # mirrors the reference's RAY_GROUP_SIZE (rayverb.h:199)
 
+# Origin far outside every scene block's AABB: sweep rows parked here (with
+# bound 0) fail the kernel's slab test against every triangle block, so
+# whole lane-tiles of neutralized rows cost no Möller-Trumbore work at all.
+_DEAD_ORIGIN = np.float32(3.0e8)
+
+
+def _spread9(x):
+    """Spread the low 9 bits of a uint32 to every third bit position."""
+    x = x & np.uint32(0x1FF)
+    x = (x | (x << 16)) & np.uint32(0x030000FF)
+    x = (x | (x << 8)) & np.uint32(0x0300F00F)
+    x = (x | (x << 4)) & np.uint32(0x030C30C3)
+    x = (x | (x << 2)) & np.uint32(0x09249249)
+    return x
+
+
+def _ray_sort_key(pos, direction, lo, inv_span):
+    """(N,) uint32 spatial sort key: 27-bit Morton code of the position
+    quantised to the scene bounds, with the direction octant in the low 3
+    bits. Re-sorting rays by this key between bounces restores the bundle
+    coherence that specular reflection gradually destroys, which is what
+    the sweep kernel's per-tile AABB cull feeds on. Ray order is
+    semantically free (the reference's RNG order carries no meaning)."""
+    q = jnp.clip(
+        (pos - lo) * inv_span * 511.0, 0.0, 511.0
+    ).astype(jnp.uint32)
+    m = (
+        _spread9(q[:, 0])
+        | (_spread9(q[:, 1]) << np.uint32(1))
+        | (_spread9(q[:, 2]) << np.uint32(2))
+    )
+    octant = (
+        (direction[:, 0] > 0).astype(jnp.uint32)
+        | ((direction[:, 1] > 0).astype(jnp.uint32) << np.uint32(1))
+        | ((direction[:, 2] > 0).astype(jnp.uint32) << np.uint32(2))
+    )
+    return (m << np.uint32(3)) | octant
+
 
 class TraceOutputs(NamedTuple):
     """Dense per-ray trace results (struct-of-arrays Impulse records,
@@ -197,6 +235,9 @@ def _trace_impl(
     impl: str = "auto",
     consume_row=None,
     aux0=None,
+    nvalid=None,
+    resort: bool = False,
+    sweep_stats: bool = False,
 ):
     """The trace loop. With `consume_row=None`, collects every diffuse
     bounce row and returns TraceOutputs (the reference's dense impulse
@@ -206,20 +247,81 @@ def _trace_impl(
     materialise; returns (aux, image-slot TraceOutputs fields).
     The fused renderer uses this to scatter rows straight into the energy
     histogram, which removes the need for ray chunking entirely.
+
+    nvalid (int32 scalar, consume path only): rays at or beyond this index
+    are lane padding — their starting volume is zeroed so every impulse
+    they would emit is dropped by the binner's nonzero check, with no
+    per-row masking downstream.
+
+    resort=True (consume path only) re-sorts the ray population between
+    bounces by a position-Morton/direction-octant key: consumed rows are
+    order-free (they scatter into a histogram) and image emissions are
+    scattered back to original ray order through the carried ray ids, so
+    this is semantically invisible — it exists purely to keep sweep tiles
+    spatially coherent for the kernel's AABB cull.
     """
     mic = jnp.asarray(mic, jnp.float32)
     source = jnp.asarray(source, jnp.float32)
     directions = jnp.asarray(directions, jnp.float32)
     n = directions.shape[0]
     aux = aux0
+    if resort:
+        assert consume_row is not None, "resort requires the consume path"
+        lo_b = soup.bounds[0]
+        inv_span = 1.0 / jnp.maximum(soup.bounds[1] - soup.bounds[0], 1e-6)
+
+    volume0 = jnp.ones((n, NUM_BANDS), jnp.float32)
+    if nvalid is not None:
+        assert consume_row is not None, "nvalid requires the consume path"
+        volume0 = jnp.where(
+            (jnp.arange(n) < nvalid)[:, None], volume0, 0.0
+        )
 
     state = _RayState(
         pos=jnp.broadcast_to(source, (n, 3)),
         dir=directions,
         distance=jnp.zeros((n,), jnp.float32),
-        volume=jnp.ones((n, NUM_BANDS), jnp.float32),
+        volume=volume0,
         alive=jnp.ones((n,), bool),
     )
+    ray_id = jnp.arange(n, dtype=jnp.int32)
+
+    def _unsort(x):
+        """Scatter a per-ray emission back to original ray order."""
+        if not resort:
+            return x
+        return jnp.zeros_like(x).at[ray_id].set(x)
+
+    stats = (
+        {
+            "bounce": jnp.float32(0),
+            "shadow": jnp.float32(0),
+            "seg": jnp.float32(0),
+            "imgvis": jnp.float32(0),
+        }
+        if sweep_stats
+        else None
+    )
+
+    def _hit(origins, dirs, t_max, st_acc, kinds):
+        """closest_hit + executed-pair attribution by row range. kinds =
+        [(name, start_row, end_row), ...]; tile counts are broadcast, so
+        attribution at non-tile-aligned boundaries is approximate."""
+        if st_acc is None:
+            return (
+                closest_hit(origins, dirs, soup, impl=impl, t_max=t_max),
+                None,
+            )
+        hit, counts = closest_hit(
+            origins, dirs, soup, impl=impl, t_max=t_max, with_stats=True
+        )
+        m = origins.shape[0]
+        ntiles = counts.shape[0]
+        lanes = -(-m // ntiles)
+        out = dict(st_acc)
+        for name, s, e in kinds:
+            out[name] = out[name] + jnp.sum(counts[s // lanes : -(-e // lanes)])
+        return hit, out
 
     # ---- direct path (image slot 0), identical for every ray ----
     d_vol, d_pos, d_time = _direct_image(soup, mic, source, impl)
@@ -236,7 +338,23 @@ def _trace_impl(
     # ---- phase A: bounces that participate in the image-source search ----
     n_image_bounces = min(nreflections, NUM_IMAGE_SOURCE - 1)
     for index in range(n_image_bounces):
-        bounce = closest_hit(state.pos, state.dir, soup, impl=impl)
+        if resort and index > 0:
+            sort_key = _ray_sort_key(state.pos, state.dir, lo_b, inv_span)
+            perm_r = jnp.argsort(sort_key)
+            state = _RayState(*(x[perm_r] for x in state))
+            mic_reflection = mic_reflection[perm_r]
+            prev_tris = [p[perm_r] for p in prev_tris]
+            ray_id = ray_id[perm_r]
+        # dead rays (shot into empty space, kernel.cpp:372-375) keep their
+        # state forever; parking their sweep rows far outside the scene
+        # with bound 0 lets the kernel cull every triangle block for them
+        bounce, stats = _hit(
+            jnp.where(state.alive[:, None], state.pos, _DEAD_ORIGIN),
+            state.dir,
+            jnp.where(state.alive, jnp.inf, 0.0),
+            stats,
+            [("bounce", 0, n)],
+        )
         t_safe = jnp.where(bounce.hit, bounce.t, 0.0)
         alive_new = state.alive & bounce.hit
         intersection = state.pos + state.dir * t_safe[:, None]
@@ -276,76 +394,103 @@ def _trace_impl(
         # image mic-visibility ----
         k1 = index + 1
         final_ip = ip_world[:, index]
-        origins = jnp.concatenate(
-            [
-                intersection,                     # diffuse shadow rays
-                prev_pts.reshape(n * k1, 3),      # validation segments
-                final_ip,                         # image mic visibility
-            ],
-            axis=0,
-        )
         to_mic_diffuse = mic - intersection
         to_mic_image = mic - final_ip
-        dirs = jnp.concatenate(
-            [
-                _safe_normalize(to_mic_diffuse),
-                seg_dir.reshape(n * k1, 3),
-                _safe_normalize(to_mic_image),
-            ],
-            axis=0,
-        )
-        # every row is a point-to-point query with a known target distance
-        bounds = _sweep_bound(
-            jnp.concatenate(
-                [
-                    jnp.linalg.norm(to_mic_diffuse, axis=-1),
-                    jnp.linalg.norm(seg_vec, axis=-1).reshape(n * k1),
-                    jnp.linalg.norm(to_mic_image, axis=-1),
-                ],
-                axis=0,
-            )
-        )
-        sweep = closest_hit(origins, dirs, soup, impl=impl, t_max=bounds)
-        h_shadow = Hit(sweep.t[:n], sweep.index[:n], sweep.hit[:n])
-        h_seg = Hit(
-            sweep.t[n : n + n * k1].reshape(n, k1),
-            sweep.index[n : n + n * k1].reshape(n, k1),
-            sweep.hit[n : n + n * k1].reshape(n, k1),
-        )
-        h_imgvis = Hit(
-            sweep.t[n + n * k1 :], sweep.index[n + n * k1 :], sweep.hit[n + n * k1 :]
-        )
+        mag_diffuse = jnp.linalg.norm(to_mic_diffuse, axis=-1)
+        mag_image = jnp.linalg.norm(to_mic_image, axis=-1)
+        seg_len = jnp.linalg.norm(seg_vec, axis=-1)
 
-        vis = _visible_from_hit(h_shadow, jnp.linalg.norm(to_mic_diffuse, axis=-1))
+        # cheap admission gate (EXACT): emitting this bounce's image needs
+        # all(seg_ok), and seg_ok <= seg_front, which cost only the k+1
+        # single-triangle tests above — no scene sweep. Rays failing it
+        # (the vast majority after a couple of bounces) cannot emit no
+        # matter what the occlusion sweeps below would say, so their
+        # segment + image-visibility rows are neutralized and sorted to
+        # the tail of the row population, where whole lane-tiles cull
+        # every triangle block. The reference re-attempts validation at
+        # every bounce (kernel.cpp:396-429 resets `intersects = true`), so
+        # this must be — and is — a per-bounce implication, never a
+        # carried dead-chain flag.
+        maybe = alive_new & jnp.all(seg_front, axis=-1)
+        perm = jnp.argsort(~maybe)  # stable: gated-in rays pack first
+        inv_perm = jnp.argsort(perm)
+        g1 = maybe[:, None]
+        g2 = maybe[:, None, None]
+        zhat = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+
+        seg_origin = jnp.where(g2, prev_pts, _DEAD_ORIGIN)[perm]
+        seg_d = jnp.where(g2, seg_dir, zhat)[perm]
+        seg_bound = jnp.where(g1, _sweep_bound(seg_len), 0.0)[perm]
+        img_origin = jnp.where(g1, final_ip, _DEAD_ORIGIN)[perm]
+        img_d = jnp.where(g1, _safe_normalize(to_mic_image), zhat)[perm]
+        img_bound = jnp.where(maybe, _sweep_bound(mag_image), 0.0)[perm]
+        # a dead ray's shadow verdict is never read (emit = alive & vis)
+        al1 = alive_new[:, None]
+        sh_origin = jnp.where(al1, intersection, _DEAD_ORIGIN)
+        sh_d = jnp.where(al1, _safe_normalize(to_mic_diffuse), zhat)
+        sh_bound = jnp.where(alive_new, _sweep_bound(mag_diffuse), 0.0)
+
+        origins = jnp.concatenate(
+            [sh_origin, seg_origin.reshape(n * k1, 3), img_origin], axis=0
+        )
+        dirs = jnp.concatenate(
+            [sh_d, seg_d.reshape(n * k1, 3), img_d], axis=0
+        )
+        bounds = jnp.concatenate(
+            [sh_bound, seg_bound.reshape(n * k1), img_bound], axis=0
+        )
+        sweep, stats = _hit(
+            origins,
+            dirs,
+            bounds,
+            stats,
+            [
+                ("shadow", 0, n),
+                ("seg", n, n + n * k1),
+                ("imgvis", n + n * k1, n * (k1 + 2)),
+            ],
+        )
+        h_shadow = Hit(sweep.t[:n], sweep.index[:n], sweep.hit[:n])
+        seg_t = sweep.t[n : n + n * k1].reshape(n, k1)[inv_perm]
+        seg_hit = sweep.hit[n : n + n * k1].reshape(n, k1)[inv_perm]
+        imgvis_t = sweep.t[n + n * k1 :][inv_perm]
+        imgvis_hit = sweep.hit[n + n * k1 :][inv_perm]
+
+        vis = _visible_from_hit(h_shadow, mag_diffuse)
 
         # validation: the scene hit along each segment must land on the
         # segment's endpoint (kernel.cpp:418-428)
-        new_ip = prev_pts + seg_dir * jnp.where(h_seg.hit, h_seg.t, 0.0)[..., None]
+        new_ip = prev_pts + seg_dir * jnp.where(seg_hit, seg_t, 0.0)[..., None]
         seg_ok = (
             seg_front
-            & h_seg.hit
+            & seg_hit
             & jnp.all(jnp.abs(new_ip - ip_world) < EPSILON, axis=-1)
         )
         img_vis = _visible_from_hit(
-            h_imgvis, jnp.linalg.norm(to_mic_image, axis=-1)
+            Hit(imgvis_t, jnp.zeros_like(imgvis_t, jnp.int32), imgvis_hit),
+            mag_image,
         )
-        img_ok = alive_new & jnp.all(seg_ok, axis=-1) & img_vis
+        img_ok = maybe & jnp.all(seg_ok, axis=-1) & img_vis
 
         # emit the image impulse with the PRE-bounce volume
         # (kernel.cpp:442-455; volume updated only afterwards at :501)
         init_diff = source - mic_reflection_new
         init_dist = jnp.linalg.norm(init_diff, axis=-1)
         image_vol.append(
-            jnp.where(
-                img_ok[:, None],
-                state.volume * _air_attenuation(init_dist),
-                0.0,
+            _unsort(
+                jnp.where(
+                    img_ok[:, None],
+                    state.volume * _air_attenuation(init_dist),
+                    0.0,
+                )
             )
         )
-        image_pos.append(jnp.where(img_ok[:, None], mic + init_diff, 0.0))
-        image_time.append(jnp.where(img_ok, SECONDS_PER_METER * init_dist, 0.0))
+        image_pos.append(_unsort(jnp.where(img_ok[:, None], mic + init_diff, 0.0)))
+        image_time.append(
+            _unsort(jnp.where(img_ok, SECONDS_PER_METER * init_dist, 0.0))
+        )
         image_idx.append(
-            jnp.where(img_ok, bounce.index.astype(jnp.int32) + 1, 0)
+            _unsort(jnp.where(img_ok, bounce.index.astype(jnp.int32) + 1, 0))
         )
 
         mic_reflection = mic_reflection_new
@@ -366,27 +511,40 @@ def _trace_impl(
     if n_tail > 0:
 
         def step(carry, _):
-            st, ax = carry
-            bounce = closest_hit(st.pos, st.dir, soup, impl=impl)
+            st, ax, st_acc = carry
+            if resort:
+                # consumed rows scatter into the histogram, so ray order
+                # inside the tail is free; keep the tiles coherent
+                key_b = _ray_sort_key(st.pos, st.dir, lo_b, inv_span)
+                perm_b = jnp.argsort(key_b)
+                st = _RayState(*(x[perm_b] for x in st))
+            bounce, st_acc = _hit(
+                jnp.where(st.alive[:, None], st.pos, _DEAD_ORIGIN),
+                st.dir,
+                jnp.where(st.alive, jnp.inf, 0.0),
+                st_acc,
+                [("bounce", 0, n)],
+            )
             t_safe = jnp.where(bounce.hit, bounce.t, 0.0)
             intersection = st.pos + st.dir * t_safe[:, None]
+            alive2 = st.alive & bounce.hit
             to_mic = mic - intersection
             mag = jnp.linalg.norm(to_mic, axis=-1)
-            shadow = closest_hit(
-                intersection,
+            shadow, st_acc = _hit(
+                jnp.where(alive2[:, None], intersection, _DEAD_ORIGIN),
                 _safe_normalize(to_mic),
-                soup,
-                impl=impl,
-                t_max=_sweep_bound(mag),
+                jnp.where(alive2, _sweep_bound(mag), 0.0),
+                st_acc,
+                [("shadow", 0, n)],
             )
             vis = _visible_from_hit(shadow, mag)
             st2, _, _, row = _diffuse_impulse(soup, mic, st, bounce, vis, t_safe)
             if consume_row is None:
-                return (st2, ax), row
-            return (st2, consume_row(ax, row)), None
+                return (st2, ax, st_acc), row
+            return (st2, consume_row(ax, row), st_acc), None
 
-        (state, aux), tail_rows = jax.lax.scan(
-            step, (state, aux), None, length=n_tail
+        (state, aux, stats), tail_rows = jax.lax.scan(
+            step, (state, aux, stats), None, length=n_tail
         )
         if consume_row is None:
             tail_vol, tail_pos, tail_time = tail_rows
@@ -406,6 +564,8 @@ def _trace_impl(
     )
 
     if consume_row is not None:
+        if sweep_stats:
+            return aux, images, stats
         return aux, images
 
     head_vol = jnp.stack([r[0] for r in diffuse_rows], axis=1) if diffuse_rows else None

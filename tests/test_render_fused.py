@@ -212,3 +212,100 @@ def test_sinc_fused_matches_modular(box):
     fused, modular, _ = compare(cfg, box)
     # FastConvolution growth: fused output covers the grown region
     assert fused.shape[-1] >= modular.shape[-1] - 2
+
+
+class TestResortInvariance:
+    """Per-bounce ray re-sorting and nvalid volume-zeroing are pure
+    performance machinery (trace._trace_impl resort/nvalid): histogram,
+    time stats, and original-ray-order image records must be unchanged."""
+
+    def _run(self, box, resort, n=512, nvalid=None, refl=12):
+        import jax.numpy as jnp
+
+        from rayverb_tpu.ops.intersect import soup_from_scene
+        from rayverb_tpu.ops.render import (
+            _fused_trace_bin,
+            histogram_length,
+            make_atten_spec,
+        )
+
+        cfg = make_config(rays=n, reflections=refl)
+        soup = soup_from_scene(box)
+        spec = make_atten_spec(cfg.attenuation_model)
+        dirs = random_directions(n, seed=3)
+        length = histogram_length(box, refl, cfg.sample_rate)
+        return _fused_trace_bin(
+            soup,
+            jnp.asarray(cfg.mic_position),
+            jnp.asarray(cfg.source_position),
+            jnp.asarray(dirs),
+            np.int32(n if nvalid is None else nvalid),
+            tuple(spec[2:]),
+            nreflections=refl,
+            length=length,
+            sample_rate=cfg.sample_rate,
+            impl="xla",
+            spec_static=(spec.is_hrtf, spec.nchannels),
+            include_diffuse=True,
+            resort=resort,
+        )
+
+    def test_resort_matches_unsorted(self, box):
+        h0, mx0, mn0, img0 = self._run(box, resort=False)
+        h1, mx1, mn1, img1 = self._run(box, resort=True)
+        np.testing.assert_allclose(
+            np.asarray(h0), np.asarray(h1), rtol=1e-5, atol=1e-7
+        )
+        assert float(mx0) == pytest.approx(float(mx1))
+        assert float(mn0) == pytest.approx(float(mn1))
+        # image records come back in ORIGINAL ray order: exact match
+        for a, b in zip(img0, img1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_nvalid_matches_sliced(self, box):
+        """Rendering n rays padded to 2n with nvalid=n equals rendering
+        the n rays alone (padding rays silenced at trace start)."""
+        import jax.numpy as jnp
+
+        n = 96
+        h_pad, mx_p, mn_p, img_p = self._run(
+            box, resort=True, n=2 * n, nvalid=n
+        )
+        # reference: explicit n-ray run (same leading directions)
+        from rayverb_tpu.ops.intersect import soup_from_scene
+        from rayverb_tpu.ops.render import (
+            _fused_trace_bin,
+            histogram_length,
+            make_atten_spec,
+        )
+
+        cfg = make_config(rays=n)
+        soup = soup_from_scene(box)
+        spec = make_atten_spec(cfg.attenuation_model)
+        dirs = random_directions(2 * n, seed=3)[:n]
+        length = histogram_length(box, cfg.reflections, cfg.sample_rate)
+        h_ref, mx_r, mn_r, img_r = _fused_trace_bin(
+            soup,
+            jnp.asarray(cfg.mic_position),
+            jnp.asarray(cfg.source_position),
+            jnp.asarray(dirs),
+            np.int32(n),
+            tuple(spec[2:]),
+            nreflections=cfg.reflections,
+            length=length,
+            sample_rate=cfg.sample_rate,
+            impl="xla",
+            spec_static=(spec.is_hrtf, spec.nchannels),
+            include_diffuse=True,
+            resort=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_pad), np.asarray(h_ref), rtol=1e-5, atol=1e-7
+        )
+        assert float(mx_p) == pytest.approx(float(mx_r))
+        assert float(mn_p) == pytest.approx(float(mn_r))
+        # padded rows beyond nvalid are invalid; leading rows match
+        valid_p = np.asarray(img_p[4])
+        assert not valid_p[n:].any()
+        for a, b in zip(img_p, img_r):
+            np.testing.assert_array_equal(np.asarray(a)[:n], np.asarray(b))
