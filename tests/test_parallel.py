@@ -95,3 +95,36 @@ def test_sharded_subset_mesh(box):
     multi, _ = render_fused_sharded(box, cfg, dirs, mesh=make_mesh(4))
     n = min(single.shape[-1], multi.shape[-1])
     np.testing.assert_allclose(single[:, :n], multi[:, :n], atol=2e-5)
+
+
+def test_sharded_at_scale(box):
+    """Scale-grade path (VERDICT r2 item 6): >= 64k rays through the full
+    sharded machinery — chunked scan per shard, segment dispatch, per-shard
+    image dedup into the fixed budget, content-bucket finalize — matches
+    the single-chip render."""
+    cfg = make_config(rays=65536, reflections=6)
+    dirs = random_directions(cfg.rays, seed=31)
+    single, _ = render_fused(box, cfg, dirs)
+    multi, info = render_fused_sharded(
+        box, cfg, dirs, mesh=make_mesh(), ray_chunk=4096
+    )
+    assert info["image_rows_distinct"] > 0
+    assert info["image_rows_gathered"] < cfg.rays  # pre-dedup shrinks
+    n = min(single.shape[-1], multi.shape[-1])
+    scale = max(np.abs(single).max(), 1e-9)
+    np.testing.assert_allclose(
+        single[:, :n] / scale, multi[:, :n] / scale, atol=5e-5
+    )
+
+
+def test_sharded_image_budget_retry(box):
+    """A too-small image budget must retry transparently with a larger
+    one, not drop records."""
+    cfg = make_config(rays=128)
+    dirs = random_directions(cfg.rays, seed=13)
+    single, _ = render_fused(box, cfg, dirs)
+    multi, info = render_fused_sharded(
+        box, cfg, dirs, mesh=make_mesh(), image_budget=1
+    )
+    n = min(single.shape[-1], multi.shape[-1])
+    np.testing.assert_allclose(single[:, :n], multi[:, :n], atol=2e-5)
