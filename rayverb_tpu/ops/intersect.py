@@ -114,7 +114,9 @@ def build_sweep_table(v0, e0, e1, block: int = SWEEP_BLOCK):
     # minutes — quantising it lets differently-sized scenes share compiled
     # programs. Padding blocks carry far-away AABBs (below) so the kernel
     # culls them outright; their zero-area rows can never hit.
-    nb = max(1, -(-t // block))
+    # minimum 8 blocks so the Pallas kernel's TRI_SUBS-wide super-steps
+    # (up to 8 sub-blocks per grid step) always divide evenly
+    nb = max(8, -(-t // block))
     nb = 1 << (nb - 1).bit_length()
     tp = nb * block
     packed = np.zeros((tp, 16), np.float32)
@@ -280,12 +282,19 @@ def closest_hit(
     *,
     impl: str = "auto",
     t_max=None,
+    t_decide=None,
     with_stats: bool = False,
 ):
     """Dispatch between the XLA sweep and the Pallas kernel.
 
     impl: 'auto' | 'xla' | 'pallas'. 'auto' prefers the Pallas kernel on
     TPU backends when the batch is large enough to fill a tile.
+
+    t_decide (M,), optional any-hit thresholds: rows whose best drops
+    strictly below the threshold stop refining (verdict already locked);
+    only valid when the caller reads a visibility verdict, not the
+    closest hit itself. The XLA sweep ignores it (always exact) — the
+    verdicts agree by construction.
 
     with_stats=True returns (Hit, executed_pairs (ntiles,) float32): the
     pair tests actually run post-cull, per 512-lane ray tile (the
@@ -298,7 +307,12 @@ def closest_hit(
             origins.shape[0], soup.num_padded
         ):
             return intersect_pallas.closest_hit_pallas(
-                origins, dirs, soup, t_max=t_max, with_stats=with_stats
+                origins,
+                dirs,
+                soup,
+                t_max=t_max,
+                t_decide=t_decide,
+                with_stats=with_stats,
             )
     hit = closest_hit_xla(origins, dirs, soup, t_max)
     if not with_stats:

@@ -54,37 +54,68 @@ from ..constants import EPSILON
 # the soup's sweep-table block (intersect.SWEEP_BLOCK).
 from .intersect import SWEEP_BLOCK as TRI_BLOCK
 
-RAY_BLOCK = 512
+import os as _os
+
+# Lanes (rays) per tile. 128 = native VPU lane width = the finest cull
+# granularity: each tile's swept corridor is the union of its rays'
+# corridors, so fewer rays per tile -> smaller executed block set per
+# tile (at more grid steps, which TRI_SUBS batching absorbs).
+RAY_BLOCK = int(_os.environ.get("RAYVERB_RAY_BLOCK", "512"))
+
+# Traversal orders are shared per 512-ray GROUP regardless of RAY_BLOCK:
+# the (groups, super-steps) order table must fit SMEM (1 MB), and order
+# quality at 512-ray granularity is indistinguishable — only the cull
+# (slab `possible`) needs the finer tile.
+ORDER_GROUP_RAYS = 512
+_OG = max(1, ORDER_GROUP_RAYS // RAY_BLOCK)
+
+# Sub-blocks per grid step: each step carries TRI_SUBS x TRI_BLOCK
+# triangle rows and slab-tests all TRI_SUBS sub-AABBs as ONE vectorized
+# (TRI_SUBS, RAY_BLOCK) computation, then runs Möller-Trumbore only for
+# sub-blocks some ray can improve in. Culling granularity stays at
+# TRI_BLOCK; what shrinks is the number of grid steps (fixed per-step
+# cost, DMA batches) and the VPU waste of (1, RB)-shaped slab math —
+# measured on the 100k-tri hall probe, ~75% of steps cull everything, so
+# per-step overhead was the bottleneck once the admission gates starved
+# the Möller-Trumbore work itself.
+TRI_SUBS = int(_os.environ.get("RAYVERB_TRI_SUBS", "4"))
+TRI_STEP = TRI_BLOCK * TRI_SUBS
 
 _BIG_I32 = np.int32(0x7FFFFFFF)
 
 
 def _kernel(
     order_ref,
-    aabb_ref,
     live_ref,
+    aabb_ref,
     rays_ref,
     tmax_ref,
+    decide_ref,
     tris_ref,
     best_t_ref,
     best_i_ref,
     cnt_ref=None,
 ):
-    # order_ref (NB,), aabb_ref (NB, 8) and live_ref (ray tiles,) are
-    # scalar-prefetched (SMEM-resident). order_ref holds the near-to-far
-    # traversal order of the triangle blocks from the sweep's mean origin:
-    # visiting close blocks first makes the running best-t bound below skip
-    # most of the remaining blocks' Möller-Trumbore work — front-to-back
-    # traversal, the way a BVH ray tracer earns its keep. The final
-    # (best_t, best_i) is order-independent (ties resolve by original
-    # index), so any traversal order is correct; a good one is just faster.
-    # live_ref marks ray tiles with at least one row of positive bound:
-    # dead tiles (padding, or rows neutralized by the trace's admission
-    # gates) skip slab tests AND their triangle DMAs (the index_map pins
-    # them to block 0, so the pipeline never re-fetches).
+    # order_ref (ray tiles, n super steps) and live_ref (ray tiles,) are
+    # scalar-prefetched (SMEM-resident). order_ref holds a PER-RAY-TILE
+    # near-to-far traversal order of the TRI_STEP-row super-blocks from
+    # that tile's own mean origin: each tile visits its close blocks
+    # first, so its running best-t bound skips most of the remaining
+    # blocks' Möller-Trumbore work — front-to-back traversal, the way a
+    # BVH ray tracer earns its keep, localized per 512-ray bundle. The
+    # final (best_t, best_i) is order-independent (ties resolve by
+    # original index), so any traversal order is correct; a good one is
+    # just faster. live_ref marks ray tiles with at least one row of
+    # positive bound: dead tiles (padding, or rows neutralized by the
+    # trace's admission gates) skip slab tests AND their triangle DMAs
+    # (the index_map pins them to super-block 0, so the pipeline never
+    # re-fetches). aabb_ref is the WHOLE (nb, 8) AABB table, VMEM-resident
+    # across the sweep (constant index map -> one DMA); each step slices
+    # its TRI_SUBS sub-block rows so all sub-blocks slab-test in one
+    # vectorized (TRI_SUBS, RAY_BLOCK) computation.
     rb = pl.program_id(0)
     tb = pl.program_id(1)
-    ob = order_ref[tb]
+    ob = order_ref[rb // _OG, tb]
 
     @pl.when(tb == 0)
     def _init():
@@ -108,6 +139,8 @@ def _kernel(
     dz = rays_ref[5:6, :]
 
     def slab_axis(o, dv, lo, hi):
+        # lo/hi are (TRI_SUBS, 1) columns; o/dv are (1, RB) rows — the
+        # whole step's sub-AABB tests happen as (TRI_SUBS, RB) vector ops
         iv = 1.0 / dv  # +-inf on zero components; the select keeps it exact
         near = (lo - o) * iv
         far = (hi - o) * iv
@@ -119,86 +152,103 @@ def _kernel(
         tf = jnp.where(zero, jnp.where(inside, jnp.inf, -jnp.inf), tf)
         return tn, tf
 
-    tnx, tfx = slab_axis(ox, dx, aabb_ref[ob, 0], aabb_ref[ob, 3])
-    tny, tfy = slab_axis(oy, dy, aabb_ref[ob, 1], aabb_ref[ob, 4])
-    tnz, tfz = slab_axis(oz, dz, aabb_ref[ob, 2], aabb_ref[ob, 5])
+    ab = aabb_ref[pl.ds(ob * TRI_SUBS, TRI_SUBS), :]  # (TRI_SUBS, 8)
+    tnx, tfx = slab_axis(ox, dx, ab[:, 0:1], ab[:, 3:4])
+    tny, tfy = slab_axis(oy, dy, ab[:, 1:2], ab[:, 4:5])
+    tnz, tfz = slab_axis(oz, dz, ab[:, 2:3], ab[:, 5:6])
     tn = jnp.maximum(jnp.maximum(tnx, tny), tnz)
     tf = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
     # a triangle hit t lies within [tn, tf]; only blocks that could beat
     # the running best (ties included — a tie may resolve to a lower
-    # original index) and clear the t > EPSILON gate matter
-    possible = live & (tf >= jnp.maximum(tn, EPSILON)) & (tn <= best_t_ref[...])
+    # original index) and clear the t > EPSILON gate matter. best_t is
+    # taken at step entry: a within-step update could cull later
+    # sub-blocks slightly harder, but conservatism only costs work.
+    # decide_ref (any-hit mode, per row): once a visibility row's running
+    # best drops strictly below its decide threshold, its verdict
+    # ("blocker before the target") is locked — the row stops pulling
+    # blocks in. Rows with decide 0 (closest-hit semantics) never lock.
+    undecided = best_t_ref[...] >= decide_ref[...]  # (1, RB)
+    possible = (
+        live
+        & (tf >= jnp.maximum(tn, EPSILON))
+        & (tn <= best_t_ref[...])
+        & undecided
+    )  # (TRI_SUBS, RB)
 
-    @pl.when(jnp.any(possible))
-    def _mt():
-        if cnt_ref is not None:
-            # count of SURVIVING (MT-executed) blocks for this ray tile,
-            # broadcast across its lanes — the post-cull work observability
-            # SURVEY.md §5 calls for
-            cnt_ref[...] = cnt_ref[...] + 1
-        # triangle constants: (TB, 1) columns
-        v0x = tris_ref[:, 0:1]
-        v0y = tris_ref[:, 1:2]
-        v0z = tris_ref[:, 2:3]
-        e0x = tris_ref[:, 3:4]
-        e0y = tris_ref[:, 4:5]
-        e0z = tris_ref[:, 5:6]
-        e1x = tris_ref[:, 6:7]
-        e1y = tris_ref[:, 7:8]
-        e1z = tris_ref[:, 8:9]
-        oidx = tris_ref[:, 9:10].astype(jnp.int32)  # original index
+    for j in range(TRI_SUBS):
+        sub = slice(j * TRI_BLOCK, (j + 1) * TRI_BLOCK)
 
-        # pvec = cross(d, e1): (TB, RB) planes
-        pvx = dy * e1z - dz * e1y
-        pvy = dz * e1x - dx * e1z
-        pvz = dx * e1y - dy * e1x
+        @pl.when(jnp.any(possible[j]))
+        def _mt(sub=sub):
+            if cnt_ref is not None:
+                # SURVIVING (MT-executed) TRI_BLOCK-row blocks for this ray
+                # tile, broadcast across its lanes — the post-cull work
+                # observability SURVEY.md §5 calls for
+                cnt_ref[...] = cnt_ref[...] + 1
+            # triangle constants: (TB, 1) columns
+            v0x = tris_ref[sub, 0:1]
+            v0y = tris_ref[sub, 1:2]
+            v0z = tris_ref[sub, 2:3]
+            e0x = tris_ref[sub, 3:4]
+            e0y = tris_ref[sub, 4:5]
+            e0z = tris_ref[sub, 5:6]
+            e1x = tris_ref[sub, 6:7]
+            e1y = tris_ref[sub, 7:8]
+            e1z = tris_ref[sub, 8:9]
+            oidx = tris_ref[sub, 9:10].astype(jnp.int32)  # original index
 
-        det = e0x * pvx + e0y * pvy + e0z * pvz
-        degenerate = jnp.abs(det) < EPSILON
-        invdet = 1.0 / jnp.where(degenerate, 1.0, det)
+            # pvec = cross(d, e1): (TB, RB) planes
+            pvx = dy * e1z - dz * e1y
+            pvy = dz * e1x - dx * e1z
+            pvz = dx * e1y - dy * e1x
 
-        # tvec = o - v0
-        tvx = ox - v0x
-        tvy = oy - v0y
-        tvz = oz - v0z
+            det = e0x * pvx + e0y * pvy + e0z * pvz
+            degenerate = jnp.abs(det) < EPSILON
+            invdet = 1.0 / jnp.where(degenerate, 1.0, det)
 
-        u = invdet * (tvx * pvx + tvy * pvy + tvz * pvz)
+            # tvec = o - v0
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
 
-        # qvec = cross(tvec, e0)
-        qvx = tvy * e0z - tvz * e0y
-        qvy = tvz * e0x - tvx * e0z
-        qvz = tvx * e0y - tvy * e0x
+            u = invdet * (tvx * pvx + tvy * pvy + tvz * pvz)
 
-        v = invdet * (dx * qvx + dy * qvy + dz * qvz)
-        t = invdet * (e1x * qvx + e1y * qvy + e1z * qvz)
+            # qvec = cross(tvec, e0)
+            qvx = tvy * e0z - tvz * e0y
+            qvy = tvz * e0x - tvx * e0z
+            qvz = tvx * e0y - tvy * e0x
 
-        valid = (
-            (~degenerate)
-            & (u >= 0.0) & (u <= 1.0)
-            & (v >= 0.0) & (u + v <= 1.0)
-            & (t > EPSILON)
-        )
-        t = jnp.where(valid, t, jnp.inf)
+            v = invdet * (dx * qvx + dy * qvy + dz * qvz)
+            t = invdet * (e1x * qvx + e1y * qvy + e1z * qvz)
 
-        # per-ray reduction over the triangle sublanes; ties keep the
-        # lowest original triangle index (reference strict '<' update)
-        tmin = jnp.min(t, axis=0, keepdims=True)              # (1, RB)
-        cand = jnp.min(
-            jnp.where(t <= tmin, oidx, _BIG_I32), axis=0, keepdims=True
-        )
+            valid = (
+                (~degenerate)
+                & (u >= 0.0) & (u <= 1.0)
+                & (v >= 0.0) & (u + v <= 1.0)
+                & (t > EPSILON)
+            )
+            t = jnp.where(valid, t, jnp.inf)
 
-        bt = best_t_ref[...]
-        bi = best_i_ref[...]
-        # ties resolve to the lowest original index; a first hit exactly
-        # AT the initial bound is kept (the XLA sweep's t <= t_max is
-        # inclusive). The isfinite guard keeps hitless blocks (tmin = inf,
-        # where cand degenerates to the block's min index) from recording
-        # a bogus hit when the running best is also inf.
-        better = (tmin < bt) | (
-            (tmin == bt) & jnp.isfinite(tmin) & ((cand < bi) | (bi < 0))
-        )
-        best_t_ref[...] = jnp.where(better, tmin, bt)
-        best_i_ref[...] = jnp.where(better, cand, bi)
+            # per-ray reduction over the triangle sublanes; ties keep the
+            # lowest original triangle index (reference strict '<' update)
+            tmin = jnp.min(t, axis=0, keepdims=True)              # (1, RB)
+            cand = jnp.min(
+                jnp.where(t <= tmin, oidx, _BIG_I32), axis=0, keepdims=True
+            )
+
+            bt = best_t_ref[...]
+            bi = best_i_ref[...]
+            # ties resolve to the lowest original index; a first hit
+            # exactly AT the initial bound is kept (the XLA sweep's
+            # t <= t_max is inclusive). The isfinite guard keeps hitless
+            # blocks (tmin = inf, where cand degenerates to the block's
+            # min index) from recording a bogus hit when the running best
+            # is also inf.
+            better = (tmin < bt) | (
+                (tmin == bt) & jnp.isfinite(tmin) & ((cand < bi) | (bi < 0))
+            )
+            best_t_ref[...] = jnp.where(better, tmin, bt)
+            best_i_ref[...] = jnp.where(better, cand, bi)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -209,6 +259,7 @@ def _round_up(n: int, m: int) -> int:
 def _closest_hit_padded(
     rays_t,
     tmax_row,
+    decide_row,
     tris,
     aabbs,
     order,
@@ -219,33 +270,45 @@ def _closest_hit_padded(
 ):
     """rays_t: (8, Mp) f32; tmax_row: (1, Mp) f32 per-ray initial bound;
     tris: (Tp, 16) f32 Morton-packed; aabbs: (Tp/TRI_BLOCK, 8); order:
-    (Tp/TRI_BLOCK,) i32 traversal order; live: (Mp/RAY_BLOCK,) i32 per-ray-
-    tile any-positive-bound flags. Returns ((1, Mp) t, (1, Mp) original
-    idx, -1 = miss)."""
+    (Mp/RAY_BLOCK, Tp/TRI_STEP) i32 per-tile super-step traversal order;
+    live: (Mp/RAY_BLOCK,) i32 per-ray-tile any-positive-bound flags.
+    Returns ((1, Mp) t, (1, Mp) original idx, -1 = miss)."""
     mp = rays_t.shape[1]
     tp = tris.shape[0]
-    grid = (mp // RAY_BLOCK, tp // TRI_BLOCK)
+    grid = (mp // RAY_BLOCK, tp // TRI_STEP)
     flops_per_pair = 55
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # traversal order + AABB table + tile flags
+        num_scalar_prefetch=2,  # super-step traversal order + tile flags
         grid=grid,
         in_specs=[
             pl.BlockSpec(
+                aabbs.shape,
+                # whole AABB table resident in VMEM (it is tiny — 32 B per
+                # 256 triangles); constant index -> single DMA per sweep
+                lambda r, t, order, live: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
                 (8, RAY_BLOCK),
-                lambda r, t, order, aabb, live: (0, r),
+                lambda r, t, order, live: (0, r),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, RAY_BLOCK),
-                lambda r, t, order, aabb, live: (0, r),
+                lambda r, t, order, live: (0, r),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (TRI_BLOCK, 16),
+                (1, RAY_BLOCK),
+                lambda r, t, order, live: (0, r),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TRI_STEP, 16),
                 # dead ray tiles pin their triangle operand to block 0, so
                 # the pipeline issues no fresh DMA across their whole sweep
-                lambda r, t, order, aabb, live: (
-                    jnp.where(live[r] > 0, order[t], 0),
+                lambda r, t, order, live: (
+                    jnp.where(live[r] > 0, order[r // _OG, t], 0),
                     0,
                 ),
                 memory_space=pltpu.VMEM,
@@ -254,7 +317,7 @@ def _closest_hit_padded(
         out_specs=[
             pl.BlockSpec(
                 (1, RAY_BLOCK),
-                lambda r, t, order, aabb, live: (0, r),
+                lambda r, t, order, live: (0, r),
                 memory_space=pltpu.VMEM,
             ),
         ]
@@ -276,7 +339,7 @@ def _closest_hit_padded(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(order, aabbs, live, rays_t, tmax_row, tris)
+    )(order, live, aabbs, rays_t, tmax_row, decide_row, tris)
 
 
 def _block_padded(soup):
@@ -311,9 +374,18 @@ def closest_hit_pallas(
     *,
     interpret: bool | None = None,
     t_max=None,
+    t_decide=None,
     with_stats: bool = False,
 ):
     """Contract-identical to intersect.closest_hit_xla (incl. t_max).
+
+    t_decide (M,), optional: per-row any-hit thresholds. A row whose
+    running best drops strictly below its threshold stops refining — its
+    visibility VERDICT (hit before the threshold) is already locked, but
+    the returned (t, index) may then be any witness blocker rather than
+    the true closest. Pass only for rows whose consumer reads the verdict
+    (mic shadow rays, image mic-visibility), never for rows that need the
+    closest hit itself.
 
     with_stats=True additionally returns the ray-triangle pair tests the
     kernel actually EXECUTED after AABB/best-t culling, per 512-lane ray
@@ -324,7 +396,9 @@ def closest_hit_pallas(
         interpret = jax.default_backend() != "tpu"
 
     m = origins.shape[0]
-    mp = _round_up(max(m, RAY_BLOCK), RAY_BLOCK)
+    # pad to the order-group width so the (groups, steps) order table
+    # tiles evenly over RAY_BLOCK-lane cull tiles
+    mp = _round_up(max(m, ORDER_GROUP_RAYS), ORDER_GROUP_RAYS)
     rays_t = jnp.concatenate(
         [
             jnp.asarray(origins, jnp.float32).T,
@@ -337,6 +411,10 @@ def closest_hit_pallas(
         tmax_row = jnp.full((1, m), jnp.inf, jnp.float32)
     else:
         tmax_row = jnp.asarray(t_max, jnp.float32).reshape(1, m)
+    if t_decide is None:
+        decide_row = jnp.zeros((1, m), jnp.float32)
+    else:
+        decide_row = jnp.asarray(t_decide, jnp.float32).reshape(1, m)
     if mp != m:
         rays_t = jnp.concatenate(
             [rays_t, jnp.zeros((8, mp - m), jnp.float32)], axis=1
@@ -345,21 +423,53 @@ def closest_hit_pallas(
         tmax_row = jnp.concatenate(
             [tmax_row, jnp.zeros((1, mp - m), jnp.float32)], axis=1
         )
+        decide_row = jnp.concatenate(
+            [decide_row, jnp.zeros((1, mp - m), jnp.float32)], axis=1
+        )
 
     tris, aabbs = _block_padded(soup)
-    # near-to-far traversal order from the sweep's mean origin: close
-    # blocks resolve first, so the kernel's best-t bound culls most of the
-    # far blocks outright (empty padding blocks sit at 1e30 and sort last)
+    # PER-RAY-TILE traversal order: each tile walks the blocks front-to-
+    # back along its own mean ray — ordered by the projection of the
+    # block center onto the tile's mean direction from the tile's mean
+    # origin. With direction-coherent tiles (the trace's octant-major
+    # sort) this resolves the forward corridor's first wall immediately,
+    # so the best-t bound culls everything beyond it; blocks behind the
+    # cone are slab-culled regardless of order. Lateral distance breaks
+    # ties so near-perpendicular geometry still orders sanely. Means run
+    # over LIVE rows only: neutralized rows are parked far outside the
+    # scene and would otherwise wreck the order (their tiles are dead
+    # anyway; empty padding blocks sit at 1e30 and sort last).
+    ngroups = mp // ORDER_GROUP_RAYS
     centers = 0.5 * (aabbs[:, 0:3] + aabbs[:, 3:6])
-    # mean origin over LIVE rows only: neutralized rows are parked far
-    # outside the scene and would otherwise wreck the near-to-far order
-    w = (tmax_row[0, :m] > 0).astype(jnp.float32)
-    wsum = jnp.maximum(jnp.sum(w), 1.0)
-    centroid = (
-        jnp.sum(jnp.asarray(origins, jnp.float32) * w[:, None], axis=0) / wsum
+
+    def _pad_rows(x):
+        x = jnp.asarray(x, jnp.float32)
+        if mp == m:
+            return x
+        return jnp.concatenate([x, jnp.zeros((mp - m, 3), jnp.float32)], 0)
+
+    o_pad = _pad_rows(origins).reshape(ngroups, ORDER_GROUP_RAYS, 3)
+    d_pad = _pad_rows(dirs).reshape(ngroups, ORDER_GROUP_RAYS, 3)
+    w_t = (
+        (tmax_row[0] > 0)
+        .astype(jnp.float32)
+        .reshape(ngroups, ORDER_GROUP_RAYS)
     )
-    d2 = jnp.sum((centers - centroid) ** 2, axis=-1)
-    order = jnp.argsort(d2).astype(jnp.int32)
+    wsum = jnp.maximum(jnp.sum(w_t, axis=1, keepdims=True), 1.0)
+    centroid = jnp.sum(o_pad * w_t[..., None], axis=1) / wsum  # (ngroups, 3)
+    mean_dir = jnp.sum(d_pad * w_t[..., None], axis=1)
+    mean_dir = mean_dir / jnp.maximum(
+        jnp.linalg.norm(mean_dir, axis=-1, keepdims=True), 1e-6
+    )
+    rel = centers[None, :, :] - centroid[:, None, :]  # (ngroups, nb, 3)
+    proj = jnp.sum(rel * mean_dir[:, None, :], axis=-1)
+    lateral2 = jnp.maximum(jnp.sum(rel * rel, axis=-1) - proj * proj, 0.0)
+    rank = jnp.where(
+        proj > 0, proj + 0.25 * jnp.sqrt(lateral2), 1e30 + lateral2
+    )
+    # super-step order: a TRI_STEP step ranks by its best sub-block
+    rank_super = jnp.min(rank.reshape(ngroups, -1, TRI_SUBS), axis=2)
+    order = jnp.argsort(rank_super, axis=1).astype(jnp.int32)
     live = (
         (tmax_row > 0)
         .reshape(mp // RAY_BLOCK, RAY_BLOCK)
@@ -369,6 +479,7 @@ def closest_hit_pallas(
     outs = _closest_hit_padded(
         rays_t,
         tmax_row,
+        decide_row,
         tris,
         aabbs,
         order,

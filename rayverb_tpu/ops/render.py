@@ -951,7 +951,12 @@ def render_fused(
     # per-bounce ray re-sorting feeds the sweep kernel's AABB cull; only
     # worth the in-program argsorts when the scene has enough triangle
     # blocks for culling to matter and the population fills several tiles
-    resort = bool(n >= 4096 and soup.block_aabb.shape[0] >= 32)
+    # (RAYVERB_NO_RESORT=1 disables, for perf experiments)
+    resort = bool(
+        n >= 4096
+        and soup.block_aabb.shape[0] >= 32
+        and not os.environ.get("RAYVERB_NO_RESORT")
+    )
 
     # filter parameters (host-precomputed, single finalize compile);
     # recomputed below when the content bucket is smaller than the bound

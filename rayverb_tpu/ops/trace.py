@@ -72,12 +72,19 @@ def _spread9(x):
 
 
 def _ray_sort_key(pos, direction, lo, inv_span):
-    """(N,) uint32 spatial sort key: 27-bit Morton code of the position
-    quantised to the scene bounds, with the direction octant in the low 3
-    bits. Re-sorting rays by this key between bounces restores the bundle
-    coherence that specular reflection gradually destroys, which is what
-    the sweep kernel's per-tile AABB cull feeds on. Ray order is
-    semantically free (the reference's RNG order carries no meaning)."""
+    """(N,) uint32 spatial sort key: direction octant in the top 3 bits,
+    then the 27-bit Morton code of the position quantised to the scene
+    bounds. Re-sorting rays by this key between bounces restores the
+    bundle coherence that specular reflection gradually destroys, which
+    is what the sweep kernel's per-tile AABB cull feeds on.
+
+    Octant-MAJOR deliberately: a 512-ray tile then shares a direction
+    cone as well as an origin cluster, so its swept corridor (and with
+    it the per-tile near-to-far traversal's executed block set) is a
+    fraction of the direction-mixed corridor. (A finer 64-cone split was
+    measured WORSE on the 64k-ray hall probe — it fragments the origin
+    clusters faster than it narrows the cones.) Ray order is semantically
+    free (the reference's RNG order carries no meaning)."""
     q = jnp.clip(
         (pos - lo) * inv_span * 511.0, 0.0, 511.0
     ).astype(jnp.uint32)
@@ -91,7 +98,7 @@ def _ray_sort_key(pos, direction, lo, inv_span):
         | ((direction[:, 1] > 0).astype(jnp.uint32) << np.uint32(1))
         | ((direction[:, 2] > 0).astype(jnp.uint32) << np.uint32(2))
     )
-    return (m << np.uint32(3)) | octant
+    return (octant << np.uint32(27)) | m
 
 
 class TraceOutputs(NamedTuple):
@@ -303,17 +310,30 @@ def _trace_impl(
         else None
     )
 
-    def _hit(origins, dirs, t_max, st_acc, kinds):
+    def _hit(origins, dirs, t_max, st_acc, kinds, t_decide=None):
         """closest_hit + executed-pair attribution by row range. kinds =
         [(name, start_row, end_row), ...]; tile counts are broadcast, so
         attribution at non-tile-aligned boundaries is approximate."""
         if st_acc is None:
             return (
-                closest_hit(origins, dirs, soup, impl=impl, t_max=t_max),
+                closest_hit(
+                    origins,
+                    dirs,
+                    soup,
+                    impl=impl,
+                    t_max=t_max,
+                    t_decide=t_decide,
+                ),
                 None,
             )
         hit, counts = closest_hit(
-            origins, dirs, soup, impl=impl, t_max=t_max, with_stats=True
+            origins,
+            dirs,
+            soup,
+            impl=impl,
+            t_max=t_max,
+            t_decide=t_decide,
+            with_stats=True,
         )
         m = origins.shape[0]
         ntiles = counts.shape[0]
@@ -439,6 +459,17 @@ def _trace_impl(
         bounds = jnp.concatenate(
             [sh_bound, seg_bound.reshape(n * k1), img_bound], axis=0
         )
+        # any-hit decide thresholds: shadow + image-visibility rows only
+        # read a verdict; validation segments need the true closest hit
+        # (their endpoint-match check) so they stay exact (decide 0)
+        decide = jnp.concatenate(
+            [
+                jnp.where(alive_new, mag_diffuse, 0.0),
+                jnp.zeros((n * k1,), jnp.float32),
+                jnp.where(maybe, mag_image, 0.0)[perm],
+            ],
+            axis=0,
+        )
         sweep, stats = _hit(
             origins,
             dirs,
@@ -449,6 +480,7 @@ def _trace_impl(
                 ("seg", n, n + n * k1),
                 ("imgvis", n + n * k1, n * (k1 + 2)),
             ],
+            t_decide=decide,
         )
         h_shadow = Hit(sweep.t[:n], sweep.index[:n], sweep.hit[:n])
         seg_t = sweep.t[n : n + n * k1].reshape(n, k1)[inv_perm]
@@ -536,6 +568,7 @@ def _trace_impl(
                 jnp.where(alive2, _sweep_bound(mag), 0.0),
                 st_acc,
                 [("shadow", 0, n)],
+                t_decide=jnp.where(alive2, mag, 0.0),
             )
             vis = _visible_from_hit(shadow, mag)
             st2, _, _, row = _diffuse_impulse(soup, mic, st, bounce, vis, t_safe)

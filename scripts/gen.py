@@ -197,30 +197,33 @@ def main(argv=None) -> int:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--dry-run", action="store_true")
     parser.add_argument(
-        "--per-render-timeout", type=int, default=1200,
+        "--subprocess", action="store_true",
+        help="one CLI subprocess per render (the reference's gen.sh model; "
+        "isolates wedged remote compiles at the cost of ~full JAX startup "
+        "per render). Default is in-process: one JAX runtime, every "
+        "compile shared via the persistent cache.",
+    )
+    parser.add_argument(
+        "--per-render-timeout", type=int, default=1800,
         help="seconds before a render subprocess is killed and retried "
-        "once (the tunneled TPU's remote compiler occasionally wedges)",
+        "once (the tunneled TPU's remote compiler occasionally wedges; "
+        "--subprocess mode only)",
     )
     args = parser.parse_args(argv)
-
-    import subprocess
 
     todo = [c for c in COMBOS if args.only is None or c[1] == args.only]
     if args.limit:
         todo = todo[: args.limit]
 
     failures = 0
+    failed_combos = []
     t_start = time.time()
+    walls = []
     for i, (config, model, material) in enumerate(todo):
         out_dir = os.path.join(args.outdir, model)
         os.makedirs(out_dir, exist_ok=True)
         out = os.path.join(out_dir, f"{model}_{config}_{material}.{args.ext}")
-        # one subprocess per render (the reference's gen.sh invoked the
-        # binary per render too): a wedged remote compile only costs the
-        # timeout, not the whole corpus, and every successful compile
-        # lands in the persistent cache for the retry
-        cmd = [
-            sys.executable, "-m", "rayverb_tpu.cli",
+        cli_args = [
             os.path.join(REPO, "assets", "configs", f"{config}.json"),
             os.path.join(REPO, "assets", "test_models", f"{model}.obj"),
             os.path.join(REPO, "assets", "materials", f"{material}.json"),
@@ -231,23 +234,43 @@ def main(argv=None) -> int:
         print(f"[{i + 1}/{len(todo)}] {model} x {config} x {material}", flush=True)
         if args.dry_run:
             continue
-        rc = None
-        for attempt in (1, 2):
+        t_render = time.time()
+        if args.subprocess:
+            import subprocess
+
+            rc = None
+            for attempt in (1, 2):
+                try:
+                    rc = subprocess.run(
+                        [sys.executable, "-m", "rayverb_tpu.cli"] + cli_args,
+                        cwd=REPO,
+                        timeout=args.per_render_timeout,
+                    ).returncode
+                except subprocess.TimeoutExpired:
+                    rc = -1
+                    print(
+                        f"  attempt {attempt} timed out after "
+                        f"{args.per_render_timeout}s",
+                        file=sys.stderr, flush=True,
+                    )
+                if rc == 0:
+                    break
+        else:
+            # in-process: shapes are compile-key-quantised (histogram
+            # length and triangle-block counts round to powers of two),
+            # so the whole corpus shares a handful of compiled programs
+            sys.path.insert(0, REPO)
+            from rayverb_tpu.cli import main as cli_main
+
             try:
-                rc = subprocess.run(
-                    cmd, cwd=REPO, timeout=args.per_render_timeout
-                ).returncode
-            except subprocess.TimeoutExpired:
-                rc = -1
-                print(
-                    f"  attempt {attempt} timed out after "
-                    f"{args.per_render_timeout}s",
-                    file=sys.stderr, flush=True,
-                )
-            if rc == 0:
-                break
+                rc = cli_main(cli_args)
+            except Exception as e:  # noqa: BLE001 - per-render isolation
+                print(f"  exception: {e}", file=sys.stderr, flush=True)
+                rc = 1
+        walls.append(round(time.time() - t_render, 2))
         if rc != 0:
             failures += 1
+            failed_combos.append(f"{model}_{config}_{material}")
             print(f"  FAILED (rc={rc})", file=sys.stderr)
     wall = time.time() - t_start
     print(f"done: {len(todo) - failures}/{len(todo)} rendered in {wall:.0f}s")
@@ -257,9 +280,12 @@ def main(argv=None) -> int:
         report = {
             "rendered": len(todo) - failures,
             "failures": failures,
+            "failed_combos": failed_combos,
             "total": len(todo),
             "wall_seconds": round(wall, 1),
+            "per_render_seconds": walls,
             "pipeline": args.pipeline,
+            "mode": "subprocess" if args.subprocess else "in-process",
             "ext": args.ext,
         }
         os.makedirs(args.outdir, exist_ok=True)

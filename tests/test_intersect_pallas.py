@@ -71,3 +71,27 @@ def test_trace_with_pallas_impl_matches(large_square_scene):
     b = trace(soup, mic, src, dirs, 6, impl="pallas")
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_decide_mode_verdicts_match(large_square_soup, rng):
+    """Any-hit decide mode: the visibility verdict (blocker strictly
+    before the target vs not) must agree with the exact sweep, even
+    though a decided row may return a non-closest witness hit."""
+    from rayverb_tpu.ops.intersect import closest_hit_xla
+    from rayverb_tpu.ops.intersect_pallas import closest_hit_pallas
+
+    soup = large_square_soup
+    center = np.asarray(soup.bounds).mean(axis=0)
+    o = center + (rng.random((256, 3)).astype(np.float32) - 0.5) * 4.0
+    d = rng.standard_normal((256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    mag = (0.5 + 4.0 * rng.random(256)).astype(np.float32)
+    bound = mag * 1.001 + 0.01
+
+    ref = closest_hit_xla(o, d, soup, t_max=bound)
+    got = closest_hit_pallas(
+        o, d, soup, t_max=bound, t_decide=mag, interpret=True
+    )
+    vis_ref = (~np.asarray(ref.hit)) | (np.asarray(ref.t) > mag)
+    vis_got = (~np.asarray(got.hit)) | (np.asarray(got.t) > mag)
+    np.testing.assert_array_equal(vis_got, vis_ref)
