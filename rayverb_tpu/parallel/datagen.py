@@ -43,12 +43,18 @@ def render_irs_batched(
     mesh: Mesh | None = None,
     batch_axis: str = "batch",
     impl: str = "auto",
+    microbatch: int | None = None,
 ):
     """Render B impulse responses in one jit.
 
     sources, mics: (B, 3); directions: (B, N, 3) (independent ray sets per
     pair, or broadcast one set with np.broadcast_to).
     Returns (irs (B, C, L) float32, content_lengths (B,) int32).
+
+    microbatch: process the batch as lax.map over vmapped sub-batches of
+    this size (must divide B) — bounds peak memory (the fully-vmapped
+    trace pads small trailing dims onto 128-wide lanes, a ~40x expansion
+    at B=64 x 4096 rays) while staying a single compiled program.
     """
     soup = soup_from_scene(scene)
     spec = make_atten_spec(config.attenuation_model, hrtf_table)
@@ -106,7 +112,27 @@ def render_irs_batched(
         )
         return mixed, content
 
-    batched = jax.jit(jax.vmap(one_pair))
+    if microbatch is None or microbatch >= b:
+        batched = jax.jit(jax.vmap(one_pair))
+    else:
+        if b % microbatch:
+            raise ValueError("microbatch must divide the batch size")
+        nmb = b // microbatch
+
+        def run(mics_, sources_, dirs_):
+            outs = jax.lax.map(
+                lambda xs: jax.vmap(one_pair)(*xs),
+                (
+                    mics_.reshape(nmb, microbatch, 3),
+                    sources_.reshape(nmb, microbatch, 3),
+                    dirs_.reshape(nmb, microbatch, n, 3),
+                ),
+            )
+            return tuple(
+                o.reshape((b,) + o.shape[2:]) for o in outs
+            )
+
+        batched = jax.jit(run)
 
     if mesh is not None:
         sharding = NamedSharding(mesh, P(batch_axis))

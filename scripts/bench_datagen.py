@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--model", default="vault")
     ap.add_argument("--materials", default="vault")
     ap.add_argument(
+        "--microbatch", type=int, default=16,
+        help="vmapped sub-batch size under one lax.map (memory bound)",
+    )
+    ap.add_argument(
         "--cpu", action="store_true", help="force the JAX CPU backend (smoke)"
     )
     args = ap.parse_args()
@@ -74,11 +78,15 @@ def main():
     )
 
     # warm-up compile
-    irs, contents = render_irs_batched(scene, cfg, sources, mics, dirs)
+    irs, contents = render_irs_batched(
+        scene, cfg, sources, mics, dirs, microbatch=args.microbatch
+    )
     np.asarray(irs)
 
     t0 = time.perf_counter()
-    irs, contents = render_irs_batched(scene, cfg, sources, mics, dirs)
+    irs, contents = render_irs_batched(
+        scene, cfg, sources, mics, dirs, microbatch=args.microbatch
+    )
     np.asarray(irs)
     wall = time.perf_counter() - t0
 
