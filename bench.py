@@ -105,7 +105,7 @@ def main():
         ns_bounces, ns_wall, ns_info = run(
             ns_cfg,
             ns_scene,
-            ray_chunk=int(os.environ.get("RAYVERB_BENCH_CHUNK", 65536)),
+            ray_chunk=int(os.environ.get("RAYVERB_BENCH_CHUNK", 262144)),
             stats=True,
         )
 

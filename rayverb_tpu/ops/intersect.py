@@ -91,6 +91,23 @@ def build_sweep_table(v0, e0, e1, block: int = SWEEP_BLOCK):
     """Host-side sweep acceleration table: Morton order + packed rows +
     per-block AABBs. Returns (packed (Tp, 16), aabbs (Tp/block, 8)) numpy.
 
+    Packed rows carry a PRECOMPUTED world->barycentric affine transform
+    (Woop-style unit-triangle transform) instead of raw vertices: for a
+    triangle (v0, e0, e1) with unnormalised normal n = e0 x e1 the rows are
+
+      cols 0:3  row_u = (e1 x n) / |n|^2     cols 10  bu = -row_u . v0
+      cols 3:6  row_v = (n x e0) / |n|^2     cols 11  bv = -row_v . v0
+      cols 6:9  n                            cols 12  bw = -n . v0
+      col  9    original triangle index
+
+    so a pair test is three affine forms per ray point/direction:
+    t = -(n.o + bw)/(n.d), u = row_u.(o + t d) + bu, v likewise — the same
+    (t, u, v) Möller–Trumbore produces (kernel.cpp:62-88) at ~30% fewer
+    in-kernel flops. n.d equals minus the Möller–Trumbore determinant, so
+    the |n.d| < EPSILON degeneracy rejection is the reference's own check.
+    The transforms are computed in float64 and rounded once, keeping the
+    kernel's (t, u, v) within ~1e-6 relative of the f32 MT reference path.
+
     The original triangle index rides in packed[:, 9] as float32 (exact
     for scenes below 2^24 triangles) so the kernel can report hits in the
     caller's index space, preserving the reference's lowest-index tie rule.
@@ -119,19 +136,35 @@ def build_sweep_table(v0, e0, e1, block: int = SWEEP_BLOCK):
     nb = max(8, -(-t // block))
     nb = 1 << (nb - 1).bit_length()
     tp = nb * block
+
+    a64 = v0[order].astype(np.float64)
+    e064 = e0[order].astype(np.float64)
+    e164 = e1[order].astype(np.float64)
+    nvec = np.cross(e064, e164)
+    den = np.einsum("ij,ij->i", nvec, nvec)
+    safe = np.where(den > 0, den, 1.0)[:, None]
+    row_u = np.where(den[:, None] > 0, np.cross(e164, nvec) / safe, 0.0)
+    row_v = np.where(den[:, None] > 0, np.cross(nvec, e064) / safe, 0.0)
+
     packed = np.zeros((tp, 16), np.float32)
-    packed[:t, 0:3] = v0[order]
-    packed[:t, 3:6] = e0[order]
-    packed[:t, 6:9] = e1[order]
+    packed[:t, 0:3] = row_u.astype(np.float32)
+    packed[:t, 3:6] = row_v.astype(np.float32)
+    packed[:t, 6:9] = nvec.astype(np.float32)
     packed[:t, 9] = order.astype(np.float32)
+    packed[:t, 10] = -np.einsum("ij,ij->i", row_u, a64).astype(np.float32)
+    packed[:t, 11] = -np.einsum("ij,ij->i", row_v, a64).astype(np.float32)
+    packed[:t, 12] = -np.einsum("ij,ij->i", nvec, a64).astype(np.float32)
 
     # conservative per-block AABB over all three vertices; padding rows are
     # empty (excluded); fully-empty blocks get a far-away point AABB that
     # no practical ray intersects (skipping them is pure optimization —
     # their zero-area rows can never produce a hit anyway)
-    p0 = packed[:, 0:3]
-    p1 = p0 + packed[:, 3:6]
-    p2 = p0 + packed[:, 6:9]
+    p0 = np.zeros((tp, 3), np.float32)
+    p1 = np.zeros((tp, 3), np.float32)
+    p2 = np.zeros((tp, 3), np.float32)
+    p0[:t] = v0[order]
+    p1[:t] = v0[order] + e0[order]
+    p2[:t] = v0[order] + e1[order]
     allp = np.stack([p0, p1, p2], axis=1)  # (Tp, 3, 3)
     real = np.zeros((tp,), bool)
     real[:t] = True

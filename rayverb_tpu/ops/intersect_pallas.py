@@ -23,17 +23,26 @@ hierarchically-culled tiled (triangle-block x ray-block) sweep:
     lax.fori_loop + pl.when inside one big tile ran 7x SLOWER than the
     plain grid — dynamic control flow defeats Mosaic's pipelining — and a
     16x unrolled sub-block tile blew the 16 MB scoped-VMEM stack.)
-  - pair planes are laid out (TRI_BLOCK sublanes, RAY_BLOCK lanes):
+  - pair planes are laid out (TRI_BLOCK sublanes, LANE_GATE lanes):
     triangle constants broadcast from (TB, 1) columns, ray components from
-    (1, RB) rows — no transposes inside the kernel
-  - Möller–Trumbore arithmetic and tolerances match intersect.py /
-    the reference exactly (|det| < EPSILON, strict barycentric bounds,
-    t > EPSILON). Original triangle indices ride in packed[:, 9], and ties
-    resolve to the lowest ORIGINAL index — the reference's strict '<'
-    update order (kernel.cpp:176-190) — despite the Morton reordering.
+    (1, L) rows — no transposes inside the kernel. Within a surviving
+    sub-block the per-pair math is additionally gated per LANE_GATE-lane
+    chunk, so cull granularity is 128 rays even at RAY_BLOCK=512.
+  - the pair test uses precomputed Woop unit-triangle transforms
+    (build_sweep_table): three affine forms recover the exact
+    Möller–Trumbore (t, u, v) with ~30% fewer flops, and the degeneracy
+    term n.d IS the Möller–Trumbore determinant, so tolerances are the
+    reference's own (|det| < EPSILON, strict barycentric bounds,
+    t > EPSILON) — results agree with the XLA MT sweep to float32
+    rounding (~1e-6 relative on t; identical verdicts away from
+    knife-edge geometry). Original triangle indices ride in packed[:, 9],
+    and ties resolve to the lowest ORIGINAL index — the reference's
+    strict '<' update order (kernel.cpp:176-190) — despite the Morton
+    reordering.
 
-Padding: rays are padded with +inf-miss rows, triangles with zero-area
-rows (det == 0 -> rejected), so block alignment never changes results.
+Padding: rays are padded with +inf-miss rows, triangles with zero rows
+(n.d == 0 -> degenerate -> rejected), so block alignment never changes
+results.
 """
 
 from __future__ import annotations
@@ -65,9 +74,16 @@ RAY_BLOCK = int(_os.environ.get("RAYVERB_RAY_BLOCK", "512"))
 # Traversal orders are shared per 512-ray GROUP regardless of RAY_BLOCK:
 # the (groups, super-steps) order table must fit SMEM (1 MB), and order
 # quality at 512-ray granularity is indistinguishable — only the cull
-# (slab `possible`) needs the finer tile.
+# (slab `possible`) needs the finer tile. Rays are padded to 512-row
+# multiples, so RAY_BLOCK must divide the group evenly (ADVICE r3).
 ORDER_GROUP_RAYS = 512
-_OG = max(1, ORDER_GROUP_RAYS // RAY_BLOCK)
+if RAY_BLOCK < 128 or ORDER_GROUP_RAYS % RAY_BLOCK:
+    raise ValueError(
+        f"RAYVERB_RAY_BLOCK={RAY_BLOCK} must be a >=128 divisor of "
+        f"{ORDER_GROUP_RAYS} (rays are padded to {ORDER_GROUP_RAYS}-row "
+        "multiples and lanes come in 128s)"
+    )
+_OG = ORDER_GROUP_RAYS // RAY_BLOCK
 
 # Sub-blocks per grid step: each step carries TRI_SUBS x TRI_BLOCK
 # triangle rows and slab-tests all TRI_SUBS sub-AABBs as ONE vectorized
@@ -80,6 +96,20 @@ _OG = max(1, ORDER_GROUP_RAYS // RAY_BLOCK)
 # the Möller-Trumbore work itself.
 TRI_SUBS = int(_os.environ.get("RAYVERB_TRI_SUBS", "4"))
 TRI_STEP = TRI_BLOCK * TRI_SUBS
+
+# Lanes per Woop-evaluation gate: inside a surviving sub-block, the
+# per-pair work runs per LANE_GATE-lane chunk, each chunk skipped outright
+# unless one of ITS rays could improve. 128 (the native VPU lane width) is
+# the finest possible granularity and decouples CULL granularity from the
+# RAY_BLOCK tile size: a 512-lane tile culls like four 128-lane tiles
+# without quadrupling the grid-step count (the measured cost that sank
+# RAY_BLOCK=128 in r2/r3). Set to RAY_BLOCK to recover whole-tile gating.
+LANE_GATE = int(_os.environ.get("RAYVERB_LANE_GATE", "128"))
+if RAY_BLOCK % LANE_GATE or LANE_GATE % 128:
+    raise ValueError(
+        f"RAYVERB_LANE_GATE={LANE_GATE} must be a multiple of 128 dividing "
+        f"RAY_BLOCK={RAY_BLOCK}"
+    )
 
 _BIG_I32 = np.int32(0x7FFFFFFF)
 
@@ -177,78 +207,92 @@ def _kernel(
 
     for j in range(TRI_SUBS):
         sub = slice(j * TRI_BLOCK, (j + 1) * TRI_BLOCK)
+        for c in range(RAY_BLOCK // LANE_GATE):
+            lanes = slice(c * LANE_GATE, (c + 1) * LANE_GATE)
 
-        @pl.when(jnp.any(possible[j]))
-        def _mt(sub=sub):
-            if cnt_ref is not None:
-                # SURVIVING (MT-executed) TRI_BLOCK-row blocks for this ray
-                # tile, broadcast across its lanes — the post-cull work
-                # observability SURVEY.md §5 calls for
-                cnt_ref[...] = cnt_ref[...] + 1
-            # triangle constants: (TB, 1) columns
-            v0x = tris_ref[sub, 0:1]
-            v0y = tris_ref[sub, 1:2]
-            v0z = tris_ref[sub, 2:3]
-            e0x = tris_ref[sub, 3:4]
-            e0y = tris_ref[sub, 4:5]
-            e0z = tris_ref[sub, 5:6]
-            e1x = tris_ref[sub, 6:7]
-            e1y = tris_ref[sub, 7:8]
-            e1z = tris_ref[sub, 8:9]
-            oidx = tris_ref[sub, 9:10].astype(jnp.int32)  # original index
+            @pl.when(jnp.any(possible[j, lanes]))
+            def _mt(sub=sub, lanes=lanes):
+                if cnt_ref is not None:
+                    # SURVIVING (executed) TRI_BLOCK x LANE_GATE units,
+                    # broadcast across the chunk's lanes — the post-cull
+                    # work observability SURVEY.md §5 calls for
+                    cnt_ref[0:1, lanes] = cnt_ref[0:1, lanes] + 1
+                # triangle transform constants: (TB, 1) columns
+                # (build_sweep_table packs [row_u, row_v, n, idx, bu bv bw])
+                aux = tris_ref[sub, 0:1]
+                auy = tris_ref[sub, 1:2]
+                auz = tris_ref[sub, 2:3]
+                avx = tris_ref[sub, 3:4]
+                avy = tris_ref[sub, 4:5]
+                avz = tris_ref[sub, 5:6]
+                nx = tris_ref[sub, 6:7]
+                ny = tris_ref[sub, 7:8]
+                nz = tris_ref[sub, 8:9]
+                oidx = tris_ref[sub, 9:10].astype(jnp.int32)  # original idx
+                bu = tris_ref[sub, 10:11]
+                bv = tris_ref[sub, 11:12]
+                bw = tris_ref[sub, 12:13]
 
-            # pvec = cross(d, e1): (TB, RB) planes
-            pvx = dy * e1z - dz * e1y
-            pvy = dz * e1x - dx * e1z
-            pvz = dx * e1y - dy * e1x
+                # fresh (1, LANE_GATE) loads straight from the ref: slicing
+                # the already-loaded (1, RAY_BLOCK) vectors instead gives
+                # Mosaic an offset-lane layout it cannot broadcast to the
+                # (TB, LANE_GATE) planes ("Invalid input layout")
+                oxl = rays_ref[0:1, lanes]
+                oyl = rays_ref[1:2, lanes]
+                ozl = rays_ref[2:3, lanes]
+                dxl = rays_ref[3:4, lanes]
+                dyl = rays_ref[4:5, lanes]
+                dzl = rays_ref[5:6, lanes]
 
-            det = e0x * pvx + e0y * pvy + e0z * pvz
-            degenerate = jnp.abs(det) < EPSILON
-            invdet = 1.0 / jnp.where(degenerate, 1.0, det)
+                # barycentric-space ray: three affine forms for the origin,
+                # three linear for the direction — (TB, LANE_GATE) planes
+                ou = aux * oxl + auy * oyl + auz * ozl + bu
+                ov = avx * oxl + avy * oyl + avz * ozl + bv
+                ow = nx * oxl + ny * oyl + nz * ozl + bw
+                du = aux * dxl + auy * dyl + auz * dzl
+                dv = avx * dxl + avy * dyl + avz * dzl
+                dw = nx * dxl + ny * dyl + nz * dzl
 
-            # tvec = o - v0
-            tvx = ox - v0x
-            tvy = oy - v0y
-            tvz = oz - v0z
+                # dw = n.d = -det(Möller–Trumbore): the reference's own
+                # |det| < EPSILON degeneracy rejection (kernel.cpp:68-70)
+                degenerate = jnp.abs(dw) < EPSILON
+                t = -ow / jnp.where(degenerate, 1.0, dw)
+                u = ou + t * du
+                v = ov + t * dv
 
-            u = invdet * (tvx * pvx + tvy * pvy + tvz * pvz)
+                valid = (
+                    (~degenerate)
+                    & (u >= 0.0) & (u <= 1.0)
+                    & (v >= 0.0) & (u + v <= 1.0)
+                    & (t > EPSILON)
+                )
+                t = jnp.where(valid, t, jnp.inf)
 
-            # qvec = cross(tvec, e0)
-            qvx = tvy * e0z - tvz * e0y
-            qvy = tvz * e0x - tvx * e0z
-            qvz = tvx * e0y - tvy * e0x
+                # per-ray reduction over the triangle sublanes; ties keep
+                # the lowest original triangle index (reference strict '<'
+                # update)
+                tmin = jnp.min(t, axis=0, keepdims=True)    # (1, LANE_GATE)
+                cand = jnp.min(
+                    jnp.where(t <= tmin, oidx, _BIG_I32),
+                    axis=0,
+                    keepdims=True,
+                )
 
-            v = invdet * (dx * qvx + dy * qvy + dz * qvz)
-            t = invdet * (e1x * qvx + e1y * qvy + e1z * qvz)
-
-            valid = (
-                (~degenerate)
-                & (u >= 0.0) & (u <= 1.0)
-                & (v >= 0.0) & (u + v <= 1.0)
-                & (t > EPSILON)
-            )
-            t = jnp.where(valid, t, jnp.inf)
-
-            # per-ray reduction over the triangle sublanes; ties keep the
-            # lowest original triangle index (reference strict '<' update)
-            tmin = jnp.min(t, axis=0, keepdims=True)              # (1, RB)
-            cand = jnp.min(
-                jnp.where(t <= tmin, oidx, _BIG_I32), axis=0, keepdims=True
-            )
-
-            bt = best_t_ref[...]
-            bi = best_i_ref[...]
-            # ties resolve to the lowest original index; a first hit
-            # exactly AT the initial bound is kept (the XLA sweep's
-            # t <= t_max is inclusive). The isfinite guard keeps hitless
-            # blocks (tmin = inf, where cand degenerates to the block's
-            # min index) from recording a bogus hit when the running best
-            # is also inf.
-            better = (tmin < bt) | (
-                (tmin == bt) & jnp.isfinite(tmin) & ((cand < bi) | (bi < 0))
-            )
-            best_t_ref[...] = jnp.where(better, tmin, bt)
-            best_i_ref[...] = jnp.where(better, cand, bi)
+                bt = best_t_ref[0:1, lanes]
+                bi = best_i_ref[0:1, lanes]
+                # ties resolve to the lowest original index; a first hit
+                # exactly AT the initial bound is kept (the XLA sweep's
+                # t <= t_max is inclusive). The isfinite guard keeps
+                # hitless blocks (tmin = inf, where cand degenerates to
+                # the block's min index) from recording a bogus hit when
+                # the running best is also inf.
+                better = (tmin < bt) | (
+                    (tmin == bt)
+                    & jnp.isfinite(tmin)
+                    & ((cand < bi) | (bi < 0))
+                )
+                best_t_ref[0:1, lanes] = jnp.where(better, tmin, bt)
+                best_i_ref[0:1, lanes] = jnp.where(better, cand, bi)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -276,7 +320,7 @@ def _closest_hit_padded(
     mp = rays_t.shape[1]
     tp = tris.shape[0]
     grid = (mp // RAY_BLOCK, tp // TRI_STEP)
-    flops_per_pair = 55
+    flops_per_pair = 40
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # super-step traversal order + tile flags
         grid=grid,
@@ -388,8 +432,9 @@ def closest_hit_pallas(
     closest hit itself.
 
     with_stats=True additionally returns the ray-triangle pair tests the
-    kernel actually EXECUTED after AABB/best-t culling, per 512-lane ray
-    tile: (Hit, executed_pairs (ntiles,) float32)."""
+    kernel actually EXECUTED after AABB/best-t/lane-gate culling, per
+    512-row ray GROUP (ORDER_GROUP_RAYS lanes each, independent of
+    RAY_BLOCK/LANE_GATE): (Hit, executed_pairs (ngroups,) float32)."""
     from .intersect import Hit
 
     if interpret is None:
@@ -496,10 +541,14 @@ def closest_hit_pallas(
     hit = Hit(t=t, index=jnp.maximum(idx, 0), hit=found)
     if not with_stats:
         return hit
-    # per-tile executed-block counts are broadcast across lanes; one lane
-    # per tile suffices. float32 keeps the counts overflow-free (stats are
-    # reported at ~1e-7 relative precision, plenty for observability).
-    executed_per_tile = outs[2][0, ::RAY_BLOCK].astype(
-        jnp.float32
-    ) * np.float32(TRI_BLOCK * RAY_BLOCK)
-    return hit, executed_per_tile
+    # executed-unit counts are broadcast across each LANE_GATE chunk; one
+    # lane per chunk suffices. Chunk counts aggregate to fixed 512-row
+    # groups so callers can attribute work by row range without knowing
+    # the kernel's tile shape (ADVICE r3). float32 keeps the counts
+    # overflow-free (stats are reported at ~1e-7 relative precision,
+    # plenty for observability).
+    cnt = outs[2][0, ::LANE_GATE].astype(jnp.float32)
+    executed_per_group = cnt.reshape(
+        -1, ORDER_GROUP_RAYS // LANE_GATE
+    ).sum(axis=1) * np.float32(TRI_BLOCK * LANE_GATE)
+    return hit, executed_per_group

@@ -56,10 +56,15 @@ MAX_HIST_LEN = 1 << 23  # ~190 s at 44.1 kHz; hard cap on the static bound
 
 RAY_BLOCK_SORT = 512  # Morton-sort rays when several sweep tiles are in play
 
-# Issued pair tests per dispatched trace segment (~4 s of sweep work at the
-# measured ~85 G effective pair-tests/s). The tunneled TPU worker kills
-# single programs that execute for minutes, so the chunk scan is split.
-SEG_PAIR_BUDGET = int(3e11)
+# Issued pair tests per dispatched trace segment. The tunneled TPU worker
+# kills single programs that execute for minutes, so the chunk scan is
+# split — but each dispatch boundary costs ~1 s of fixed work (sorts, row
+# building, slab math on culled steps, launch latency), so segments should
+# be as FAT as the kill bound allows. Budgeted on EXECUTED work (r3 ran 16
+# segments where 4 sufficed because this was sized pre-gating, ADVICE r3):
+# at the measured ~8-14% executed fraction and ~45 G executed pairs/s,
+# 2.5e12 issued pairs ≈ 5-8 s of device time per segment.
+SEG_PAIR_BUDGET = int(2.5e12)
 
 # Ray populations up to this size trace as ONE single-pass program (full-
 # width sweeps, rows binned in place); larger populations fall back to the
@@ -998,7 +1003,7 @@ def render_fused(
         # bound each dispatched program's device time: the tunneled TPU
         # worker kills programs that run for minutes (observed at the 1M-ray
         # x 100k-tri scan), so the chunk scan is split into segments of
-        # ~SEG_PAIR_BUDGET issued pair tests (~4 s of sweep work each),
+        # ~SEG_PAIR_BUDGET issued pair tests (~5-8 s of sweep work each),
         # chained through the carried histogram. All segments share one
         # compiled program (equal chunk counts; trailing zero-count chunks
         # are fully masked).

@@ -71,6 +71,19 @@ def _spread9(x):
     return x
 
 
+def _dir_morton(d):
+    """(N,) uint32: 27-bit Morton code of a unit direction mapped into the
+    [0,1]^3 cube — a hierarchical direction-locality sort key. Nearby codes
+    are nearby directions, so 512-row sweep tiles sorted by this key share
+    a narrow cone."""
+    q = jnp.clip((d * 0.5 + 0.5) * 511.0, 0.0, 511.0).astype(jnp.uint32)
+    return (
+        _spread9(q[:, 0])
+        | (_spread9(q[:, 1]) << np.uint32(1))
+        | (_spread9(q[:, 2]) << np.uint32(2))
+    )
+
+
 def _ray_sort_key(pos, direction, lo, inv_span):
     """(N,) uint32 spatial sort key: direction octant in the top 3 bits,
     then the 27-bit Morton code of the position quantised to the scene
@@ -150,6 +163,51 @@ def _visible_from_hit(hit: Hit, mag):
     return (~hit.hit) | (hit.t > mag)
 
 
+# Mic shadow rays run REVERSED (origin at the mic, direction toward the
+# bounce point) unless this env opts back into the reference's
+# surface-to-mic orientation. Rationale: every shadow row of a bounce
+# targets the SAME mic, so reversing gives all rows one exact shared
+# origin; sorted by direction Morton code, each 512-row sweep tile then
+# covers a razor-thin cone from the mic and the kernel's per-tile
+# near-to-far traversal + per-ray bound cull almost everything outside
+# it. Verdict parity: the forward test "no blocker with t in (EPS, mag]"
+# becomes "no blocker with t_rev in (EPS, mag_eff]" where
+# mag_eff = mag*(1-4e-6) - EPSILON excludes the bounce surface itself
+# (the point lies ON a scene triangle, which the reversed ray reaches at
+# t ~ mag); the EPSILON-sized exclusion zone sits at the bounce point in
+# both orientations, so verdicts agree except for geometry within
+# EPSILON of the mic itself (a mic embedded in a wall).
+_SHADOW_REVERSED = not bool(__import__("os").environ.get("RAYVERB_SHADOW_FWD"))
+
+
+def _shadow_rows(mic, intersection, alive, mag, pair=None):
+    """Build the reversed, direction-sorted mic-shadow sweep rows.
+
+    mic: (3,) or per-row (N, 3). pair (N,) int32 (multi-pair traces): rows
+    sort pair-major so each tile keeps a single shared mic origin, then by
+    direction within the pair.
+
+    Returns (origins, dirs, bounds, decide, inv_perm, mag_eff); the sweep's
+    Hit rows must be gathered through inv_perm before computing
+    vis = (~hit) | (t > mag_eff)."""
+    d = _safe_normalize(intersection - mic)
+    key = jnp.where(alive, _dir_morton(d), np.uint32(0xFFFFFFFF))
+    if pair is None:
+        perm = jnp.argsort(key)
+    else:
+        dead = jnp.where(alive, pair, np.int32(0x7FFFFFFF))
+        perm = jnp.lexsort((key, dead))
+    inv_perm = jnp.argsort(perm)
+    mag_eff = mag * (1.0 - 4e-6) - EPSILON
+    al1 = alive[:, None]
+    zhat = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    origins = jnp.where(al1, mic, _DEAD_ORIGIN)[perm]
+    dirs = jnp.where(al1, d, zhat)[perm]
+    bounds = jnp.where(alive, _sweep_bound(mag), 0.0)[perm]
+    decide = jnp.where(alive, mag_eff, 0.0)[perm]
+    return origins, dirs, bounds, decide, inv_perm, mag_eff
+
+
 def _sweep_bound(mag):
     """Per-ray t_max for point-to-point sweeps (shadow rays, image path
     validation, image mic visibility): their verdicts depend only on hits
@@ -169,20 +227,28 @@ def _sweep_bound(mag):
 
 
 def _direct_image(soup, mic, source, impl):
-    """Slot-0 direct-path image impulse (kernel.cpp:335-357)."""
-    diff = source - mic
-    dist = jnp.linalg.norm(diff)
+    """Slot-0 direct-path image impulse (kernel.cpp:335-357).
+
+    Accepts one (3,) mic/source pair or batched (B, 3) pairs (multi-pair
+    traces); returns per-pair (vol (…,8), pos (…,3), time (…,))."""
+    single = jnp.ndim(mic) == 1
+    mic2 = jnp.atleast_2d(mic)
+    src2 = jnp.atleast_2d(source)
+    diff = src2 - mic2
+    dist = jnp.linalg.norm(diff, axis=-1)
     hit = closest_hit(
-        source[None, :],
-        _safe_normalize(mic - source)[None, :],
+        src2,
+        _safe_normalize(mic2 - src2),
         soup,
         impl=impl,
-        t_max=_sweep_bound(dist)[None],
+        t_max=_sweep_bound(dist),
     )
-    vis = _visible_from_hit(hit, dist)[0]
-    vol = jnp.where(vis, _air_attenuation(dist), 0.0)
-    pos = jnp.where(vis, mic + diff, 0.0)
+    vis = _visible_from_hit(hit, dist)
+    vol = jnp.where(vis[:, None], _air_attenuation(dist), 0.0)
+    pos = jnp.where(vis[:, None], mic2 + diff, 0.0)
     time = jnp.where(vis, SECONDS_PER_METER * dist, 0.0)
+    if single:
+        return vol[0], pos[0], time[0]
     return vol, pos, time
 
 
@@ -192,6 +258,16 @@ class _RayState(NamedTuple):
     distance: jax.Array  # (N,)
     volume: jax.Array    # (N, 8)
     alive: jax.Array     # (N,) bool
+    # multi-pair traces only (None otherwise): per-row mic/source and the
+    # row's source/receiver-pair index, riding the state so per-bounce
+    # re-sorting keeps them aligned with the rows they describe
+    mic: jax.Array | None = None   # (N, 3)
+    src: jax.Array | None = None   # (N, 3)
+    pair: jax.Array | None = None  # (N,) int32
+
+
+def _permute_state(st: "_RayState", perm) -> "_RayState":
+    return _RayState(*(None if x is None else x[perm] for x in st))
 
 
 def _diffuse_impulse(soup, mic, state, hit, vis, t_safe):
@@ -228,6 +304,9 @@ def _diffuse_impulse(soup, mic, state, hit, vis, t_safe):
         distance=jnp.where(alive_new, new_dist, state.distance),
         volume=jnp.where(alive_new[:, None], new_vol, state.volume),
         alive=alive_new,
+        mic=state.mic,
+        src=state.src,
+        pair=state.pair,
     )
     return next_state, alive_new, intersection, (volume_out, position_out, time_out)
 
@@ -245,6 +324,7 @@ def _trace_impl(
     nvalid=None,
     resort: bool = False,
     sweep_stats: bool = False,
+    pair_id=None,
 ):
     """The trace loop. With `consume_row=None`, collects every diffuse
     bounce row and returns TraceOutputs (the reference's dense impulse
@@ -254,6 +334,17 @@ def _trace_impl(
     materialise; returns (aux, image-slot TraceOutputs fields).
     The fused renderer uses this to scatter rows straight into the energy
     histogram, which removes the need for ray chunking entirely.
+
+    pair_id (N,) int32 (consume path only) puts the trace in MULTI-PAIR
+    mode — the batched-datagen path that replaces the reference's
+    one-process-per-render corpus loop (demo/gen.sh) with ONE program:
+    `mic` and `source` become (B, 3) per-pair arrays, row i belongs to
+    pair pair_id[i], and every sweep carries all B pairs' rays at full
+    width (per-row mic/source ride _RayState through the re-sorts).
+    Consumed rows then carry two extra columns (mic_row (N,3),
+    pair_row (N,)) so the consumer can attenuate and bin per pair, and
+    the returned image slots line up with the ORIGINAL row order (use
+    pair_id to attribute them).
 
     nvalid (int32 scalar, consume path only): rays at or beyond this index
     are lane padding — their starting volume is zeroed so every impulse
@@ -272,6 +363,10 @@ def _trace_impl(
     directions = jnp.asarray(directions, jnp.float32)
     n = directions.shape[0]
     aux = aux0
+    multi = pair_id is not None
+    if multi:
+        assert consume_row is not None, "multi-pair requires the consume path"
+        pair_id = jnp.asarray(pair_id, jnp.int32)
     if resort:
         assert consume_row is not None, "resort requires the consume path"
         lo_b = soup.bounds[0]
@@ -285,11 +380,14 @@ def _trace_impl(
         )
 
     state = _RayState(
-        pos=jnp.broadcast_to(source, (n, 3)),
+        pos=jnp.broadcast_to(source[pair_id] if multi else source, (n, 3)),
         dir=directions,
         distance=jnp.zeros((n,), jnp.float32),
         volume=volume0,
         alive=jnp.ones((n,), bool),
+        mic=mic[pair_id] if multi else None,
+        src=source[pair_id] if multi else None,
+        pair=pair_id if multi else None,
     )
     ray_id = jnp.arange(n, dtype=jnp.int32)
 
@@ -312,8 +410,10 @@ def _trace_impl(
 
     def _hit(origins, dirs, t_max, st_acc, kinds, t_decide=None):
         """closest_hit + executed-pair attribution by row range. kinds =
-        [(name, start_row, end_row), ...]; tile counts are broadcast, so
-        attribution at non-tile-aligned boundaries is approximate."""
+        [(name, start_row, end_row), ...]. Both sweep impls report counts
+        per 512-row group of the UNPADDED row order (padding rows only
+        extend the final groups), so row ranges map to groups exactly;
+        only non-512-aligned kind boundaries are approximate (ADVICE r3)."""
         if st_acc is None:
             return (
                 closest_hit(
@@ -335,22 +435,28 @@ def _trace_impl(
             t_decide=t_decide,
             with_stats=True,
         )
-        m = origins.shape[0]
-        ntiles = counts.shape[0]
-        lanes = -(-m // ntiles)
+        lanes = 512  # fixed stats-group width for every impl
         out = dict(st_acc)
         for name, s, e in kinds:
             out[name] = out[name] + jnp.sum(counts[s // lanes : -(-e // lanes)])
         return hit, out
 
-    # ---- direct path (image slot 0), identical for every ray ----
+    # ---- direct path (image slot 0), identical for every ray of a pair
+    # (one B-row sweep in multi mode, gathered back onto rows) ----
     d_vol, d_pos, d_time = _direct_image(soup, mic, source, impl)
-    image_vol = [jnp.broadcast_to(d_vol, (n, NUM_BANDS))]
-    image_pos = [jnp.broadcast_to(d_pos, (n, 3))]
-    image_time = [jnp.broadcast_to(d_time, (n,))]
+    if multi:
+        image_vol = [d_vol[pair_id]]
+        image_pos = [d_pos[pair_id]]
+        image_time = [d_time[pair_id]]
+    else:
+        image_vol = [jnp.broadcast_to(d_vol, (n, NUM_BANDS))]
+        image_pos = [jnp.broadcast_to(d_pos, (n, 3))]
+        image_time = [jnp.broadcast_to(d_time, (n,))]
     image_idx = [jnp.zeros((n,), jnp.int32)]
 
-    mic_reflection = jnp.broadcast_to(mic, (n, 3))
+    mic_reflection = jnp.broadcast_to(
+        state.mic if multi else mic, (n, 3)
+    )
     prev_tris: list = []  # mirrored triangle chain, grows per unrolled bounce
 
     diffuse_rows = []
@@ -361,10 +467,15 @@ def _trace_impl(
         if resort and index > 0:
             sort_key = _ray_sort_key(state.pos, state.dir, lo_b, inv_span)
             perm_r = jnp.argsort(sort_key)
-            state = _RayState(*(x[perm_r] for x in state))
+            state = _permute_state(state, perm_r)
             mic_reflection = mic_reflection[perm_r]
             prev_tris = [p[perm_r] for p in prev_tris]
             ray_id = ray_id[perm_r]
+        # per-row mic/source in CURRENT state order (multi-pair mode);
+        # (3,)-broadcast otherwise — downstream math is shape-agnostic
+        smic = state.mic if multi else mic
+        ssrc = state.src if multi else source
+        src_col = jnp.broadcast_to(ssrc, (n, 3))[:, None, :]
         # dead rays (shot into empty space, kernel.cpp:372-375) keep their
         # state forever; parking their sweep rows far outside the scene
         # with bound 0 lets the kernel cull every triangle block for them
@@ -390,11 +501,11 @@ def _trace_impl(
         # image-source path validation (kernel.cpp:396-429):
         # all segments are checked in one batch; the AND is identical to the
         # reference's early-exit loop.
-        DIR = _safe_normalize(mic_reflection_new - source)
+        DIR = _safe_normalize(mic_reflection_new - ssrc)
         chain = jnp.stack(prev_tris, axis=1)            # (N, k+1, 3, 3)
-        t_k = intersect_triangle(source[None, None, :], DIR[:, None, :], chain)
+        t_k = intersect_triangle(src_col, DIR[:, None, :], chain)
         seg_front = t_k > EPSILON                        # (N, k+1)
-        ip = source + DIR[:, None, :] * t_k[..., None]   # mirrored-space hits
+        ip = src_col + DIR[:, None, :] * t_k[..., None]  # mirrored-space hits
         # un-mirror each segment point back to world space through planes
         # l = k-1 .. 0 (kernel.cpp:412-414)
         ip_world_cols = []
@@ -405,7 +516,7 @@ def _trace_impl(
             ip_world_cols.append(p)
         ip_world = jnp.stack(ip_world_cols, axis=1)      # (N, k+1, 3)
         prev_pts = jnp.concatenate(
-            [jnp.broadcast_to(source, (n, 1, 3)), ip_world[:, :-1]], axis=1
+            [src_col, ip_world[:, :-1]], axis=1
         )
         seg_vec = ip_world - prev_pts
         seg_dir = _safe_normalize(seg_vec)
@@ -414,8 +525,8 @@ def _trace_impl(
         # image mic-visibility ----
         k1 = index + 1
         final_ip = ip_world[:, index]
-        to_mic_diffuse = mic - intersection
-        to_mic_image = mic - final_ip
+        to_mic_diffuse = smic - intersection
+        to_mic_image = smic - final_ip
         mag_diffuse = jnp.linalg.norm(to_mic_diffuse, axis=-1)
         mag_image = jnp.linalg.norm(to_mic_image, axis=-1)
         seg_len = jnp.linalg.norm(seg_vec, axis=-1)
@@ -445,10 +556,23 @@ def _trace_impl(
         img_d = jnp.where(g1, _safe_normalize(to_mic_image), zhat)[perm]
         img_bound = jnp.where(maybe, _sweep_bound(mag_image), 0.0)[perm]
         # a dead ray's shadow verdict is never read (emit = alive & vis)
-        al1 = alive_new[:, None]
-        sh_origin = jnp.where(al1, intersection, _DEAD_ORIGIN)
-        sh_d = jnp.where(al1, _safe_normalize(to_mic_diffuse), zhat)
-        sh_bound = jnp.where(alive_new, _sweep_bound(mag_diffuse), 0.0)
+        if _SHADOW_REVERSED:
+            (
+                sh_origin,
+                sh_d,
+                sh_bound,
+                sh_decide,
+                sh_inv,
+                sh_mag_eff,
+            ) = _shadow_rows(
+                smic, intersection, alive_new, mag_diffuse, pair=state.pair
+            )
+        else:
+            al1 = alive_new[:, None]
+            sh_origin = jnp.where(al1, intersection, _DEAD_ORIGIN)
+            sh_d = jnp.where(al1, _safe_normalize(to_mic_diffuse), zhat)
+            sh_bound = jnp.where(alive_new, _sweep_bound(mag_diffuse), 0.0)
+            sh_decide = jnp.where(alive_new, mag_diffuse, 0.0)
 
         origins = jnp.concatenate(
             [sh_origin, seg_origin.reshape(n * k1, 3), img_origin], axis=0
@@ -464,7 +588,7 @@ def _trace_impl(
         # (their endpoint-match check) so they stay exact (decide 0)
         decide = jnp.concatenate(
             [
-                jnp.where(alive_new, mag_diffuse, 0.0),
+                sh_decide,
                 jnp.zeros((n * k1,), jnp.float32),
                 jnp.where(maybe, mag_image, 0.0)[perm],
             ],
@@ -482,13 +606,19 @@ def _trace_impl(
             ],
             t_decide=decide,
         )
-        h_shadow = Hit(sweep.t[:n], sweep.index[:n], sweep.hit[:n])
         seg_t = sweep.t[n : n + n * k1].reshape(n, k1)[inv_perm]
         seg_hit = sweep.hit[n : n + n * k1].reshape(n, k1)[inv_perm]
         imgvis_t = sweep.t[n + n * k1 :][inv_perm]
         imgvis_hit = sweep.hit[n + n * k1 :][inv_perm]
 
-        vis = _visible_from_hit(h_shadow, mag_diffuse)
+        if _SHADOW_REVERSED:
+            h_shadow = Hit(
+                sweep.t[:n][sh_inv], sweep.index[:n][sh_inv], sweep.hit[:n][sh_inv]
+            )
+            vis = _visible_from_hit(h_shadow, sh_mag_eff)
+        else:
+            h_shadow = Hit(sweep.t[:n], sweep.index[:n], sweep.hit[:n])
+            vis = _visible_from_hit(h_shadow, mag_diffuse)
 
         # validation: the scene hit along each segment must land on the
         # segment's endpoint (kernel.cpp:418-428)
@@ -506,7 +636,7 @@ def _trace_impl(
 
         # emit the image impulse with the PRE-bounce volume
         # (kernel.cpp:442-455; volume updated only afterwards at :501)
-        init_diff = source - mic_reflection_new
+        init_diff = ssrc - mic_reflection_new
         init_dist = jnp.linalg.norm(init_diff, axis=-1)
         image_vol.append(
             _unsort(
@@ -517,7 +647,7 @@ def _trace_impl(
                 )
             )
         )
-        image_pos.append(_unsort(jnp.where(img_ok[:, None], mic + init_diff, 0.0)))
+        image_pos.append(_unsort(jnp.where(img_ok[:, None], smic + init_diff, 0.0)))
         image_time.append(
             _unsort(jnp.where(img_ok, SECONDS_PER_METER * init_dist, 0.0))
         )
@@ -527,11 +657,15 @@ def _trace_impl(
 
         mic_reflection = mic_reflection_new
         state, alive_new, intersection, row = _diffuse_impulse(
-            soup, mic, state, bounce, vis, t_safe
+            soup, smic, state, bounce, vis, t_safe
         )
         if consume_row is None:
             diffuse_rows.append(row)
         else:
+            if multi:
+                # rows carry their (current-order) mic + pair so the
+                # consumer can attenuate and bin per pair
+                row = row + (state.mic, state.pair)
             aux = consume_row(aux, row)
 
     # ---- phase B: pure diffuse bounces (no image-source bookkeeping) ----
@@ -549,7 +683,8 @@ def _trace_impl(
                 # inside the tail is free; keep the tiles coherent
                 key_b = _ray_sort_key(st.pos, st.dir, lo_b, inv_span)
                 perm_b = jnp.argsort(key_b)
-                st = _RayState(*(x[perm_b] for x in st))
+                st = _permute_state(st, perm_b)
+            smic = st.mic if multi else mic
             bounce, st_acc = _hit(
                 jnp.where(st.alive[:, None], st.pos, _DEAD_ORIGIN),
                 st.dir,
@@ -560,20 +695,44 @@ def _trace_impl(
             t_safe = jnp.where(bounce.hit, bounce.t, 0.0)
             intersection = st.pos + st.dir * t_safe[:, None]
             alive2 = st.alive & bounce.hit
-            to_mic = mic - intersection
+            to_mic = smic - intersection
             mag = jnp.linalg.norm(to_mic, axis=-1)
-            shadow, st_acc = _hit(
-                jnp.where(alive2[:, None], intersection, _DEAD_ORIGIN),
-                _safe_normalize(to_mic),
-                jnp.where(alive2, _sweep_bound(mag), 0.0),
-                st_acc,
-                [("shadow", 0, n)],
-                t_decide=jnp.where(alive2, mag, 0.0),
-            )
-            vis = _visible_from_hit(shadow, mag)
-            st2, _, _, row = _diffuse_impulse(soup, mic, st, bounce, vis, t_safe)
+            if _SHADOW_REVERSED:
+                (
+                    sh_origin,
+                    sh_d,
+                    sh_bound,
+                    sh_decide,
+                    sh_inv,
+                    sh_mag_eff,
+                ) = _shadow_rows(smic, intersection, alive2, mag, pair=st.pair)
+                shadow, st_acc = _hit(
+                    sh_origin,
+                    sh_d,
+                    sh_bound,
+                    st_acc,
+                    [("shadow", 0, n)],
+                    t_decide=sh_decide,
+                )
+                vis = _visible_from_hit(
+                    Hit(shadow.t[sh_inv], shadow.index[sh_inv], shadow.hit[sh_inv]),
+                    sh_mag_eff,
+                )
+            else:
+                shadow, st_acc = _hit(
+                    jnp.where(alive2[:, None], intersection, _DEAD_ORIGIN),
+                    _safe_normalize(to_mic),
+                    jnp.where(alive2, _sweep_bound(mag), 0.0),
+                    st_acc,
+                    [("shadow", 0, n)],
+                    t_decide=jnp.where(alive2, mag, 0.0),
+                )
+                vis = _visible_from_hit(shadow, mag)
+            st2, _, _, row = _diffuse_impulse(soup, smic, st, bounce, vis, t_safe)
             if consume_row is None:
                 return (st2, ax, st_acc), row
+            if multi:
+                row = row + (st2.mic, st2.pair)
             return (st2, consume_row(ax, row), st_acc), None
 
         (state, aux, stats), tail_rows = jax.lax.scan(

@@ -3,9 +3,22 @@
 The reference generates IR corpora by shelling out ~200 independent CLI
 invocations (demo/gen.sh) — embarrassing job parallelism. The TPU-native
 equivalent runs a whole batch of source/receiver pairs through ONE compiled
-program: vmap over pairs on top of the fused trace+bin chunk, optionally
-sharded over a ('batch', ...) mesh axis so pairs spread across chips
-(BASELINE.json config 5).
+program, and — unlike a vmap over per-pair renders — MERGES all pairs'
+rays into shared full-width closest-hit sweeps (BASELINE.json config 5):
+
+  - the multi-pair trace (ops.trace._trace_impl pair_id mode) carries
+    per-row mic/source through its per-bounce re-sorts, so every sweep
+    covers B x N rays at once and the sweep kernel's fixed cost amortises
+    over the whole batch instead of one pair
+  - bounce rows scatter into a carried (B, C, 8, L) histogram bank keyed
+    by the row's pair
+  - image-source chains dedup per pair via pair-seeded hash keys in one
+    global sort (the per-pair std::map of rayverb.cpp:653-676, batched)
+  - the crossover filter bank + mixdown + normalise vmap per pair
+
+Optionally sharded over a ('batch',) mesh axis with shard_map: pairs are
+independent, so each device runs the fused trace on its local pairs with
+no cross-device collectives at all.
 
 Outputs are fixed-shape (B, C, L) IRs plus per-pair content lengths;
 per-pair predelay/tail trimming is left to the caller (dynamic shapes do
@@ -19,17 +32,210 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config.schema import RenderConfig
+from ..constants import NUM_BANDS, NUM_IMAGE_SOURCE
 from ..ops.render import (
-    _finalize,
-    _fused_chunk,
+    AttenSpec,
+    _finalize_filter,
+    _hrtf_channel,
+    _mix32,
+    _speaker_gain,
+    chain_hashes,
     finalize_filter_params,
     histogram_length,
     make_atten_spec,
 )
 from ..ops.intersect import soup_from_scene
+
+_ROW_ALIGN = 512  # sweep-lane alignment for the flattened B*N row space
+
+
+def _attenuate_and_bin_multi(
+    mic_rows, pair_rows, volumes, positions, times, spec: AttenSpec,
+    length: int, sample_rate, weight=None, init_hist=None, nbatch: int = 1,
+):
+    """Per-pair fused attenuation + scatter: (M, 8) impulses with per-row
+    mic/pair -> accumulate into a (B, C, 8, length) histogram bank.
+
+    The per-channel math is ops.render._attenuate_and_bin's exactly; only
+    the scatter target gains the pair dimension."""
+    nonzero = jnp.any(volumes != 0, axis=-1)
+    if weight is not None:
+        nonzero = nonzero & (weight > 0)
+    basis = None
+    if spec.is_hrtf:
+        from ..ops.attenuate import head_basis
+
+        basis = head_basis(spec.facing, spec.up)
+
+    hist = (
+        jnp.zeros((nbatch, spec.nchannels, NUM_BANDS, length), jnp.float32)
+        if init_hist is None
+        else init_hist
+    )
+    for c in range(spec.nchannels):
+        if spec.is_hrtf:
+            gains, t_c = _hrtf_channel(
+                mic_rows, positions, times, spec.table, basis, c
+            )
+            vol_c = volumes * gains
+        else:
+            gain = _speaker_gain(
+                mic_rows, positions, spec.speaker_dirs[c], spec.speaker_coeffs[c]
+            )
+            vol_c = volumes * gain[:, None]
+            t_c = times
+        idx = jnp.floor(t_c * sample_rate + 0.5).astype(jnp.int32)
+        idx = jnp.where(nonzero, idx, length)  # out of range -> dropped
+        vol_c = jnp.where(nonzero[:, None], vol_c, 0.0)
+        # advanced indices (pair, idx) straddle the band slice, so the
+        # gathered/scattered dims come first: (M, 8) update rows
+        hist = hist.at[pair_rows, c, :, idx].add(vol_c, mode="drop")
+    return hist
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "nbatch",
+        "nreflections",
+        "length",
+        "impl",
+        "spec_static",
+    ),
+)
+def _batched_trace_bin(
+    soup,
+    mics,        # (B, 3)
+    sources,     # (B, 3)
+    dirs_flat,   # (Mp, 3) all pairs' rays (padded to _ROW_ALIGN)
+    pair_id,     # (Mp,) int32 row -> pair
+    nvalid,      # () int32: rows at/after are padding
+    spec_arrays,
+    *,
+    nbatch: int,
+    nreflections: int,
+    length: int,
+    impl: str,
+    sample_rate,
+    spec_static,
+):
+    """One fused multi-pair trace+bin program: returns the (B, C, 8, L)
+    diffuse histogram bank and the flattened image-slot records with
+    pair-seeded dedup hashes."""
+    from ..ops.trace import _trace_impl
+
+    is_hrtf, nchannels = spec_static
+    spec = AttenSpec(is_hrtf, nchannels, *spec_arrays)
+    m = dirs_flat.shape[0]
+
+    def consume(hist, row):
+        vol, pos, tim, mic_rows, pair_rows = row
+        return _attenuate_and_bin_multi(
+            mic_rows, pair_rows, vol, pos, tim, spec, length, sample_rate,
+            init_hist=hist,
+        )
+
+    hist0 = jnp.zeros((nbatch, nchannels, NUM_BANDS, length), jnp.float32)
+    # resort on whenever the scene has enough blocks for the AABB cull to
+    # matter (same policy as render_fused)
+    resort = bool(m >= 4096 and soup.block_aabb.shape[0] >= 32)
+    hist, images = _trace_impl(
+        soup,
+        mics,
+        sources,
+        dirs_flat,
+        nreflections=nreflections,
+        impl=impl,
+        consume_row=consume,
+        aux0=hist0,
+        nvalid=nvalid,
+        resort=resort,
+        pair_id=pair_id,
+    )
+    img_vol, img_pos, img_time, img_idx = images
+
+    h1, h2 = chain_hashes(img_idx)
+    # seed the chain identity with the pair: chains never dedup across
+    # pairs (each pair is its own reference render / std::map)
+    pair_u = pair_id.astype(jnp.uint32)[:, None]
+    h1 = _mix32(h1 ^ pair_u)
+    h2 = _mix32(h2 + (pair_u * np.uint32(0x9E3779B9)))
+    slots = jnp.broadcast_to(
+        jnp.arange(NUM_IMAGE_SOURCE, dtype=jnp.int32)[None, :], img_idx.shape
+    )
+    ray_ok = jnp.arange(m) < nvalid
+    valid = ((slots == 0) | (img_idx != 0)) & ray_ok[:, None]
+    return hist, (img_vol, img_pos, img_time, slots, valid, h1, h2)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nbatch", "length", "spec_static", "remove_direct"),
+)
+def _finalize_hist_batched(
+    hist,        # (B, C, 8, L)
+    imgs,        # flattened image tuple from _batched_trace_bin
+    pair_id,     # (Mp,)
+    mics,        # (B, 3)
+    spec_arrays,
+    sample_rate,
+    *,
+    nbatch: int,
+    length: int,
+    spec_static,
+    remove_direct: bool,
+):
+    """Cross-ray image dedup (pair-seeded keys, one global sort) + binning
+    into the histogram bank; returns (hist, per-pair content lengths)."""
+    is_hrtf, nchannels = spec_static
+    spec = AttenSpec(is_hrtf, nchannels, *spec_arrays)
+    img_vol, img_pos, img_time, img_slot, img_valid, h1, h2 = imgs
+    s = img_vol.shape[1]
+    m = img_vol.shape[0] * s
+    h1 = h1.reshape(m)
+    h2 = h2.reshape(m)
+    valid = img_valid.reshape(m)
+    if remove_direct:
+        valid = valid & (img_slot.reshape(m) != 0)
+    sent = np.uint32(0xFFFFFFFF)
+    k1 = jnp.where(valid, h1, sent)
+    k2 = jnp.where(valid, h2, sent)
+    row = jnp.arange(m, dtype=jnp.int32)
+    s1, s2, srow, svalid = jax.lax.sort(
+        (k1, k2, row, valid.astype(jnp.int32)), num_keys=2
+    )
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])]
+    )
+    selected = first & (svalid == 1)
+    weight = jnp.zeros((m,), jnp.float32).at[srow].add(
+        selected.astype(jnp.float32)
+    )
+    pair_rows = jnp.repeat(pair_id, s)
+    hist = _attenuate_and_bin_multi(
+        mics[pair_rows],
+        pair_rows,
+        img_vol.reshape(m, NUM_BANDS),
+        img_pos.reshape(m, 3),
+        img_time.reshape(m),
+        spec,
+        length,
+        sample_rate,
+        weight=weight,
+        init_hist=hist,
+        nbatch=nbatch,
+    )
+    occupied = jnp.any(hist != 0, axis=(1, 2))  # (B, L)
+    content = (
+        jnp.max(
+            jnp.where(occupied, jnp.arange(length)[None, :], -1), axis=-1
+        )
+        + 1
+    )
+    return hist, content
 
 
 def render_irs_batched(
@@ -45,17 +251,21 @@ def render_irs_batched(
     impl: str = "auto",
     microbatch: int | None = None,
 ):
-    """Render B impulse responses in one jit.
+    """Render B impulse responses in one jit with SHARED sweeps.
 
     sources, mics: (B, 3); directions: (B, N, 3) (independent ray sets per
     pair, or broadcast one set with np.broadcast_to).
     Returns (irs (B, C, L) float32, content_lengths (B,) int32).
 
-    microbatch: process the batch as lax.map over vmapped sub-batches of
-    this size (must divide B) — bounds peak memory (the fully-vmapped
-    trace pads small trailing dims onto 128-wide lanes, a ~40x expansion
-    at B=64 x 4096 rays) while staying a single compiled program.
+    mesh: optional ('batch',)-axis device mesh — pairs are shard_mapped
+    across devices (B must divide by the axis size; pairs are independent,
+    so no collective traffic at all).
+
+    microbatch: accepted for API compatibility (the lax.map knob of the
+    r3 vmap implementation); the merged-sweep path needs no microbatching
+    and ignores it.
     """
+    del microbatch
     soup = soup_from_scene(scene)
     spec = make_atten_spec(config.attenuation_model, hrtf_table)
     spec_static = (spec.is_hrtf, spec.nchannels)
@@ -71,74 +281,75 @@ def render_irs_batched(
         config.filter, config.sample_rate, config.hipass, length
     )
 
-    def one_pair(mic, source, dirs):
-        out = _fused_chunk(
+    filter_one = partial(
+        _finalize_filter,
+        flips=flips,
+        nfft=nfft,
+        do_normalize=config.normalize,
+        filter_method=filter_method,
+    )
+
+    def run_local(mics_l, sources_l, dirs_l):
+        """Fused render of the (local) batch: (Bl, 3), (Bl, 3),
+        (Bl, N, 3) -> ((Bl, C, L'), (Bl,))."""
+        bl = mics_l.shape[0]
+        mlocal = bl * n
+        mp = -(-mlocal // _ROW_ALIGN) * _ROW_ALIGN
+        dirs_flat = dirs_l.reshape(mlocal, 3)
+        pair_id = jnp.repeat(jnp.arange(bl, dtype=jnp.int32), n)
+        if mp != mlocal:
+            pad = jnp.zeros((mp - mlocal, 3), jnp.float32).at[:, 2].set(1.0)
+            dirs_flat = jnp.concatenate([dirs_flat, pad], axis=0)
+            pair_id = jnp.concatenate(
+                [pair_id, jnp.zeros((mp - mlocal,), jnp.int32)]
+            )
+        hist, imgs = _batched_trace_bin(
             soup,
-            mic,
-            source,
-            dirs,
-            jnp.int32(n),
+            mics_l,
+            sources_l,
+            dirs_flat,
+            pair_id,
+            jnp.int32(mlocal),
             spec_arrays,
+            nbatch=bl,
             nreflections=config.reflections,
             length=length,
-            sample_rate=config.sample_rate,
             impl=impl,
+            sample_rate=jnp.float32(config.sample_rate),
             spec_static=spec_static,
-            include_diffuse=True,
         )
-        mixed, _trim, content = _finalize(
-            out.hist,
-            out.img_volume,
-            out.img_position,
-            out.img_time,
-            out.img_slot,
-            out.img_valid,
-            out.img_h1,
-            out.img_h2,
-            mic,
+        hist, content = _finalize_hist_batched(
+            hist,
+            imgs,
+            pair_id,
+            mics_l,
             spec_arrays,
-            filter_params,
-            None,
-            jnp.float32(config.volume_scale),
             jnp.float32(config.sample_rate),
+            nbatch=bl,
             length=length,
             spec_static=spec_static,
-            include_images=True,
             remove_direct=config.remove_direct,
-            flips=flips,
-            nfft=nfft,
-            do_normalize=config.normalize,
-            filter_method=filter_method,
+        )
+        mixed, _trim = jax.vmap(filter_one, in_axes=(0, 0, None, None))(
+            hist, content, filter_params, jnp.float32(config.volume_scale)
         )
         return mixed, content
 
-    if microbatch is None or microbatch >= b:
-        batched = jax.jit(jax.vmap(one_pair))
+    if mesh is None:
+        irs, contents = run_local(mics, sources, directions)
     else:
-        if b % microbatch:
-            raise ValueError("microbatch must divide the batch size")
-        nmb = b // microbatch
-
-        def run(mics_, sources_, dirs_):
-            outs = jax.lax.map(
-                lambda xs: jax.vmap(one_pair)(*xs),
-                (
-                    mics_.reshape(nmb, microbatch, 3),
-                    sources_.reshape(nmb, microbatch, 3),
-                    dirs_.reshape(nmb, microbatch, n, 3),
-                ),
+        if b % mesh.shape[batch_axis]:
+            raise ValueError(
+                f"batch {b} must divide across the '{batch_axis}' axis "
+                f"({mesh.shape[batch_axis]} devices)"
             )
-            return tuple(
-                o.reshape((b,) + o.shape[2:]) for o in outs
+        spec_b = P(batch_axis)
+        irs, contents = jax.jit(
+            jax.shard_map(
+                run_local,
+                mesh=mesh,
+                in_specs=(spec_b, spec_b, spec_b),
+                out_specs=(spec_b, spec_b),
             )
-
-        batched = jax.jit(run)
-
-    if mesh is not None:
-        sharding = NamedSharding(mesh, P(batch_axis))
-        sources = jax.device_put(sources, sharding)
-        mics = jax.device_put(mics, sharding)
-        directions = jax.device_put(directions, sharding)
-
-    irs, contents = batched(mics, sources, directions)
+        )(mics, sources, directions)
     return irs, contents

@@ -421,7 +421,13 @@ def render_fused_sharded(
         "predelay": predelay or 0.0,
         "mesh": mesh.shape,
         "image_rows_gathered": d * image_budget,
-        "image_rows_distinct": int(jnp.max(buf_count)),
+        # per-shard distinct chain counts, summed. Shards can share chains
+        # (the direct path, low-order reflections every shard sees), so
+        # this UPPER-bounds the global distinct count — use it to size
+        # image_budget (it bounds each shard's buffer need), not as a
+        # global dedup statistic (ADVICE r3).
+        "image_rows_distinct_per_shard_sum": int(jnp.sum(buf_count)),
+        "image_rows_distinct_per_shard_max": int(jnp.max(buf_count)),
         "segments": nseg,
         "resort": resort,
     }

@@ -264,6 +264,9 @@ def main(argv=None) -> int:
 
             try:
                 rc = cli_main(cli_args)
+            except SystemExit as e:  # argparse rejects (bad combo args)
+                rc = e.code if isinstance(e.code, int) else 1
+                print(f"  exit: {e.code}", file=sys.stderr, flush=True)
             except Exception as e:  # noqa: BLE001 - per-render isolation
                 print(f"  exception: {e}", file=sys.stderr, flush=True)
                 rc = 1

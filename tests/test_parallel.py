@@ -108,7 +108,7 @@ def test_sharded_at_scale(box):
     multi, info = render_fused_sharded(
         box, cfg, dirs, mesh=make_mesh(), ray_chunk=4096
     )
-    assert info["image_rows_distinct"] > 0
+    assert info["image_rows_distinct_per_shard_max"] > 0
     assert info["image_rows_gathered"] < cfg.rays  # pre-dedup shrinks
     n = min(single.shape[-1], multi.shape[-1])
     scale = max(np.abs(single).max(), 1e-9)
