@@ -94,17 +94,20 @@ _OG = ORDER_GROUP_RAYS // RAY_BLOCK
 # measured on the 100k-tri hall probe, ~75% of steps cull everything, so
 # per-step overhead was the bottleneck once the admission gates starved
 # the Möller-Trumbore work itself.
-TRI_SUBS = int(_os.environ.get("RAYVERB_TRI_SUBS", "4"))
+TRI_SUBS = int(_os.environ.get("RAYVERB_TRI_SUBS", "8"))
 TRI_STEP = TRI_BLOCK * TRI_SUBS
 
 # Lanes per Woop-evaluation gate: inside a surviving sub-block, the
-# per-pair work runs per LANE_GATE-lane chunk, each chunk skipped outright
-# unless one of ITS rays could improve. 128 (the native VPU lane width) is
-# the finest possible granularity and decouples CULL granularity from the
-# RAY_BLOCK tile size: a 512-lane tile culls like four 128-lane tiles
-# without quadrupling the grid-step count (the measured cost that sank
-# RAY_BLOCK=128 in r2/r3). Set to RAY_BLOCK to recover whole-tile gating.
-LANE_GATE = int(_os.environ.get("RAYVERB_LANE_GATE", "128"))
+# per-pair work can additionally run per LANE_GATE-lane chunk, each chunk
+# skipped outright unless one of ITS rays could improve — decoupling CULL
+# granularity from the RAY_BLOCK tile size. Measured on the v5e 64k-ray
+# hall probe: LANE_GATE=128 cut executed pairs 1.6x (49 G -> 31 G) but ran
+# 1.6x SLOWER (3.1 s -> 5.0 s trace) — 16 pl.when regions per grid step
+# cost more than the culled Woop work saved (in-tile branching defeats
+# Mosaic's pipelining, the same lesson as r2's fori_loop variant). Default
+# therefore stays at whole-tile gating; the chunked path is kept behind
+# this env for re-evaluation on future toolchains.
+LANE_GATE = int(_os.environ.get("RAYVERB_LANE_GATE", str(RAY_BLOCK)))
 if RAY_BLOCK % LANE_GATE or LANE_GATE % 128:
     raise ValueError(
         f"RAYVERB_LANE_GATE={LANE_GATE} must be a multiple of 128 dividing "

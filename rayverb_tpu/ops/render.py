@@ -246,6 +246,7 @@ class ChunkOut(NamedTuple):
     img_h2: jax.Array        # (N, S) uint32
     max_time: jax.Array      # () diffuse max time
     min_time: jax.Array      # () earliest non-zero diffuse time (predelay)
+    overflow: jax.Array      # () bool: seg-budget overflow (re-run uncapped)
 
 
 def _chunk_core(
@@ -263,6 +264,7 @@ def _chunk_core(
     include_diffuse: bool,
     init_hist=None,
     resort: bool = False,
+    seg_budget_rows: int | None = None,
 ) -> ChunkOut:
     """Trace one ray chunk and bin its diffuse contribution (accumulating
     into `init_hist` when given). Shared by the jitted single-chunk entry
@@ -300,7 +302,7 @@ def _chunk_core(
         else init_hist
     )
     aux0 = (hist0, jnp.float32(0.0), jnp.float32(jnp.inf))
-    (hist, max_t, min_t), images = _trace_impl(
+    (hist, max_t, min_t), images, overflow = _trace_impl(
         soup,
         mic,
         source,
@@ -311,6 +313,7 @@ def _chunk_core(
         aux0=aux0,
         nvalid=nvalid,
         resort=resort,
+        seg_budget_rows=seg_budget_rows,
     )
     img_vol, img_pos, img_time, img_idx = images
 
@@ -333,51 +336,7 @@ def _chunk_core(
         img_h2=h2,
         max_time=max_t,
         min_time=min_t,
-    )
-
-
-@partial(
-    jax.jit,
-    static_argnames=(
-        "nreflections",
-        "length",
-        "impl",
-        "spec_static",
-        "include_diffuse",
-        "resort",
-    ),
-)
-def _fused_chunk(
-    soup: TriangleSoup,
-    mic,
-    source,
-    directions,
-    nvalid,
-    spec_arrays,
-    *,
-    nreflections: int,
-    length: int,
-    sample_rate,
-    impl: str,
-    spec_static,
-    include_diffuse: bool,
-    resort: bool = False,
-) -> ChunkOut:
-    is_hrtf, nchannels = spec_static
-    spec = AttenSpec(is_hrtf, nchannels, *spec_arrays)
-    return _chunk_core(
-        soup,
-        mic,
-        source,
-        directions,
-        nvalid,
-        spec,
-        nreflections=nreflections,
-        length=length,
-        sample_rate=sample_rate,
-        impl=impl,
-        include_diffuse=include_diffuse,
-        resort=resort,
+        overflow=overflow,
     )
 
 
@@ -391,6 +350,7 @@ def _fused_chunk(
         "include_diffuse",
         "resort",
         "sweep_stats",
+        "seg_budget_rows",
     ),
 )
 def _fused_trace_bin(
@@ -409,6 +369,7 @@ def _fused_trace_bin(
     include_diffuse: bool,
     resort: bool = False,
     sweep_stats: bool = False,
+    seg_budget_rows: int | None = None,
 ):
     """Single-pass fused trace: every diffuse bounce row is scattered into
     the carried (C, 8, L) histogram the moment it is produced, so the
@@ -458,9 +419,10 @@ def _fused_trace_bin(
         nvalid=nvalid,
         resort=resort,
         sweep_stats=sweep_stats,
+        seg_budget_rows=seg_budget_rows,
     )
-    (hist, max_t, min_t), images = out[0], out[1]
-    trace_stats = out[2] if sweep_stats else None
+    (hist, max_t, min_t), images, overflow = out[0], out[1], out[2]
+    trace_stats = out[3] if sweep_stats else None
     img_vol, img_pos, img_time, img_idx = images
     h1, h2 = chain_hashes(img_idx)
     slots = jnp.broadcast_to(
@@ -469,8 +431,8 @@ def _fused_trace_bin(
     valid = ((slots == 0) | (img_idx != 0)) & ray_ok[:, None]
     imgs = (img_vol, img_pos, img_time, slots, valid, h1, h2)
     if sweep_stats:
-        return hist, max_t, min_t, imgs, trace_stats
-    return hist, max_t, min_t, imgs
+        return hist, max_t, min_t, imgs, overflow, trace_stats
+    return hist, max_t, min_t, imgs, overflow
 
 
 @partial(
@@ -482,6 +444,7 @@ def _fused_trace_bin(
         "spec_static",
         "include_diffuse",
         "resort",
+        "seg_budget_rows",
     ),
 )
 def _fused_trace_all(
@@ -500,6 +463,7 @@ def _fused_trace_all(
     spec_static,
     include_diffuse: bool,
     resort: bool = False,
+    seg_budget_rows: int | None = None,
 ):
     """One trace+bin SEGMENT as one compiled program: lax.scan over ray
     chunks carrying the energy histogram and time bounds (accumulating
@@ -516,7 +480,7 @@ def _fused_trace_all(
     k, chunk, _ = directions.shape
 
     def body(carry, xs):
-        hist, mx, mn = carry
+        hist, mx, mn, ovf = carry
         dirs, nv = xs
         out = _chunk_core(
             soup,
@@ -532,11 +496,13 @@ def _fused_trace_all(
             include_diffuse=include_diffuse,
             init_hist=hist,
             resort=resort,
+            seg_budget_rows=seg_budget_rows,
         )
         carry = (
             out.hist,
             jnp.maximum(mx, out.max_time),
             jnp.minimum(mn, out.min_time),
+            ovf | out.overflow,
         )
         ys = (
             out.img_volume,
@@ -549,14 +515,14 @@ def _fused_trace_all(
         )
         return carry, ys
 
-    (hist, max_t, min_t), ys = jax.lax.scan(
+    (hist, max_t, min_t, ovf), ys = jax.lax.scan(
         body, carry_in, (directions, nvalid)
     )
     s = NUM_IMAGE_SOURCE
     imgs = tuple(
         y.reshape((k * chunk, s) + y.shape[3:]) for y in ys
     )
-    return hist, max_t, min_t, imgs
+    return hist, max_t, min_t, imgs, ovf
 
 
 def _finalize(
@@ -973,41 +939,58 @@ def render_fused(
     # time-bound scalars come back before finalize
     sweep_stats = bool(stats and os.environ.get("RAYVERB_SWEEP_STATS"))
     trace_stats = None
-    if n <= RAY_PROGRAM_LIMIT:
-        # single pass over all rays: sweeps run at full width and bounce
-        # rows scatter straight into the carried histogram
-        out = _fused_trace_bin(
-            soup,
-            config.mic_position,
-            config.source_position,
-            directions,
-            np.int32(n),
-            spec_arrays,
-            nreflections=config.reflections,
-            length=length,
-            sample_rate=config.sample_rate,
-            impl=impl,
-            spec_static=spec_static,
-            include_diffuse=include_diffuse,
-            resort=resort,
-            sweep_stats=sweep_stats,
-        )
-        if sweep_stats:
-            hist, max_t_dev, min_t_dev, imgs, trace_stats = out
-        else:
-            hist, max_t_dev, min_t_dev, imgs = out
-    else:
+    # Image-validation row budget (trace.py phase-A g_cap): on large
+    # scenes, later bounces only issue validation rows for the first
+    # 2*chunk-width gate survivors. If a trace reports overflow (some
+    # admitted ray was denied rows — e.g. a perfectly specular shoebox at
+    # high order), the whole trace re-runs uncapped so results stay exact.
+    seg_budget = (
+        None
+        if soup.block_aabb.shape[0] < 64
+        or os.environ.get("RAYVERB_NO_SEG_BUDGET")
+        else 2 * (n if n <= RAY_PROGRAM_LIMIT else ray_chunk)
+    )
+
+    def _run_trace(budget):
+        if n <= RAY_PROGRAM_LIMIT:
+            # single pass over all rays: sweeps run at full width and
+            # bounce rows scatter straight into the carried histogram
+            out = _fused_trace_bin(
+                soup,
+                config.mic_position,
+                config.source_position,
+                directions,
+                np.int32(n),
+                spec_arrays,
+                nreflections=config.reflections,
+                length=length,
+                sample_rate=config.sample_rate,
+                impl=impl,
+                spec_static=spec_static,
+                include_diffuse=include_diffuse,
+                resort=resort,
+                sweep_stats=sweep_stats,
+                seg_budget_rows=budget,
+            )
+            if sweep_stats:
+                hist, max_t_dev, min_t_dev, imgs, ovf, tstats = out
+            else:
+                hist, max_t_dev, min_t_dev, imgs, ovf = out
+                tstats = None
+            return hist, max_t_dev, min_t_dev, imgs, ovf, tstats
         counts = np.minimum(
             np.maximum(n - np.arange(nchunks) * chunk, 0), chunk
         ).astype(np.int32)
         # bound each dispatched program's device time: the tunneled TPU
-        # worker kills programs that run for minutes (observed at the 1M-ray
-        # x 100k-tri scan), so the chunk scan is split into segments of
-        # ~SEG_PAIR_BUDGET issued pair tests (~5-8 s of sweep work each),
-        # chained through the carried histogram. All segments share one
-        # compiled program (equal chunk counts; trailing zero-count chunks
-        # are fully masked).
-        est = max(sweep_pair_tests(chunk, soup.num_padded, config.reflections), 1)
+        # worker kills programs that run for minutes (observed at the
+        # 1M-ray x 100k-tri scan), so the chunk scan is split into
+        # segments of ~SEG_PAIR_BUDGET issued pair tests (~5-8 s of sweep
+        # work each), chained through the carried histogram. All segments
+        # share one compiled program (equal chunk counts; trailing
+        # zero-count chunks are fully masked).
+        est = max(
+            sweep_pair_tests(chunk, soup.num_padded, config.reflections), 1
+        )
         seg = int(max(1, min(nchunks, SEG_PAIR_BUDGET // est)))
         nseg = -(-nchunks // seg)
         pad_chunks = nseg * seg
@@ -1016,23 +999,26 @@ def render_fused(
             extra = np.zeros((pad_chunks - nchunks, chunk, 3), np.float32)
             extra[..., 2] = 1.0
             dirs_all = np.concatenate([dirs_all, extra], axis=0)
-            counts = np.concatenate(
+            counts_p = np.concatenate(
                 [counts, np.zeros(pad_chunks - nchunks, np.int32)]
             )
+        else:
+            counts_p = counts
         carry = (
             jnp.zeros((spec.nchannels, NUM_BANDS, length), jnp.float32),
             jnp.float32(0.0),
             jnp.float32(jnp.inf),
+            jnp.bool_(False),
         )
         img_parts = []
-        for s in range(nseg):
-            sl = slice(s * seg, (s + 1) * seg)
-            hist, max_t_dev, min_t_dev, part = _fused_trace_all(
+        for si in range(nseg):
+            sl = slice(si * seg, (si + 1) * seg)
+            hist, max_t_dev, min_t_dev, part, ovf = _fused_trace_all(
                 soup,
                 config.mic_position,
                 config.source_position,
                 dirs_all[sl],
-                counts[sl],
+                counts_p[sl],
                 spec_arrays,
                 carry,
                 nreflections=config.reflections,
@@ -1042,8 +1028,9 @@ def render_fused(
                 spec_static=spec_static,
                 include_diffuse=include_diffuse,
                 resort=resort,
+                seg_budget_rows=budget,
             )
-            carry = (hist, max_t_dev, min_t_dev)
+            carry = (hist, max_t_dev, min_t_dev, ovf)
             img_parts.append(part)
         imgs = (
             img_parts[0]
@@ -1051,6 +1038,22 @@ def render_fused(
             else tuple(
                 jnp.concatenate(parts, axis=0) for parts in zip(*img_parts)
             )
+        )
+        return hist, max_t_dev, min_t_dev, imgs, ovf, None
+
+    hist, max_t_dev, min_t_dev, imgs, ovf, trace_stats = _run_trace(
+        seg_budget
+    )
+    if seg_budget is not None and bool(ovf):
+        import warnings
+
+        warnings.warn(
+            "image-validation row budget overflowed (highly specular "
+            "scene?); re-running the trace uncapped",
+            stacklevel=2,
+        )
+        hist, max_t_dev, min_t_dev, imgs, ovf, trace_stats = _run_trace(
+            None
         )
     if stats:
         jax.block_until_ready(hist)

@@ -84,20 +84,24 @@ def _dir_morton(d):
     )
 
 
-def _ray_sort_key(pos, direction, lo, inv_span):
-    """(N,) uint32 spatial sort key: direction octant in the top 3 bits,
-    then the 27-bit Morton code of the position quantised to the scene
-    bounds. Re-sorting rays by this key between bounces restores the
-    bundle coherence that specular reflection gradually destroys, which
-    is what the sweep kernel's per-tile AABB cull feeds on.
+# Between-bounce resort key variant (RAYVERB_SORT_KEY):
+#   octant — direction octant major, then position Morton (the r3 key)
+#   cell8  — scene-octant position cell major, then FULL direction Morton
+#   cell64 — 64-cell position major, then direction Morton
+# The cell variants spend fewer bits on origin locality and many more on
+# direction: a 512-ray tile then covers a small origin cell AND a narrow
+# cone, shrinking the swept corridor (executed block set) of the kernel's
+# per-tile cull at large populations where each (cell, cone) bucket still
+# fills whole tiles. Ray order is semantically free (the reference's RNG
+# order carries no meaning).
+_SORT_KEY_VARIANT = __import__("os").environ.get("RAYVERB_SORT_KEY", "octant")
 
-    Octant-MAJOR deliberately: a 512-ray tile then shares a direction
-    cone as well as an origin cluster, so its swept corridor (and with
-    it the per-tile near-to-far traversal's executed block set) is a
-    fraction of the direction-mixed corridor. (A finer 64-cone split was
-    measured WORSE on the 64k-ray hall probe — it fragments the origin
-    clusters faster than it narrows the cones.) Ray order is semantically
-    free (the reference's RNG order carries no meaning)."""
+
+def _ray_sort_key(pos, direction, lo, inv_span):
+    """(N,) uint32 spatial sort key (see _SORT_KEY_VARIANT above).
+    Re-sorting rays by this key between bounces restores the bundle
+    coherence that specular reflection gradually destroys, which is what
+    the sweep kernel's per-tile AABB cull feeds on."""
     q = jnp.clip(
         (pos - lo) * inv_span * 511.0, 0.0, 511.0
     ).astype(jnp.uint32)
@@ -106,6 +110,21 @@ def _ray_sort_key(pos, direction, lo, inv_span):
         | (_spread9(q[:, 1]) << np.uint32(1))
         | (_spread9(q[:, 2]) << np.uint32(2))
     )
+    if _SORT_KEY_VARIANT == "cell8":
+        # top 3 position-Morton bits (scene octant cell), then the full
+        # 27-bit direction Morton — tiles are narrow cones per cell
+        return ((m >> np.uint32(24)) << np.uint32(27)) | _dir_morton(
+            direction
+        )
+    if _SORT_KEY_VARIANT == "cell64":
+        # top 6 position bits (64 cells), then 26 direction bits
+        return ((m >> np.uint32(21)) << np.uint32(26)) | (
+            _dir_morton(direction) >> np.uint32(1)
+        )
+    # octant-MAJOR (r3 default): a 512-ray tile shares a direction cone
+    # as well as an origin cluster. (A finer 64-cone direction split in
+    # the TOP bits was measured WORSE on the 64k-ray hall probe — it
+    # fragments the origin clusters faster than it narrows the cones.)
     octant = (
         (direction[:, 0] > 0).astype(jnp.uint32)
         | ((direction[:, 1] > 0).astype(jnp.uint32) << np.uint32(1))
@@ -325,6 +344,7 @@ def _trace_impl(
     resort: bool = False,
     sweep_stats: bool = False,
     pair_id=None,
+    seg_budget_rows: int | None = None,
 ):
     """The trace loop. With `consume_row=None`, collects every diffuse
     bounce row and returns TraceOutputs (the reference's dense impulse
@@ -346,6 +366,12 @@ def _trace_impl(
     the returned image slots line up with the ORIGINAL row order (use
     pair_id to attribute them).
 
+    seg_budget_rows (static int, consume path only): cap on the rows a
+    bounce's image-validation sweep may issue (see the phase-A g_cap
+    comment). The consume path's return gains an `overflow` bool — True
+    means some gate-passing ray was denied validation rows and the
+    render must be re-run uncapped to be exact.
+
     nvalid (int32 scalar, consume path only): rays at or beyond this index
     are lane padding — their starting volume is zeroed so every impulse
     they would emit is dropped by the binner's nonzero check, with no
@@ -363,6 +389,9 @@ def _trace_impl(
     directions = jnp.asarray(directions, jnp.float32)
     n = directions.shape[0]
     aux = aux0
+    overflow = jnp.bool_(False)
+    if seg_budget_rows is not None:
+        assert consume_row is not None, "seg budget requires the consume path"
     multi = pair_id is not None
     if multi:
         assert consume_row is not None, "multi-pair requires the consume path"
@@ -549,12 +578,27 @@ def _trace_impl(
         g2 = maybe[:, None, None]
         zhat = jnp.array([0.0, 0.0, 1.0], jnp.float32)
 
-        seg_origin = jnp.where(g2, prev_pts, _DEAD_ORIGIN)[perm]
-        seg_d = jnp.where(g2, seg_dir, zhat)[perm]
-        seg_bound = jnp.where(g1, _sweep_bound(seg_len), 0.0)[perm]
-        img_origin = jnp.where(g1, final_ip, _DEAD_ORIGIN)[perm]
-        img_d = jnp.where(g1, _safe_normalize(to_mic_image), zhat)[perm]
-        img_bound = jnp.where(maybe, _sweep_bound(mag_image), 0.0)[perm]
+        # static row cap for the validation population: gate-passing rays
+        # collapse to <<1% after a few bounces on large scenes, yet their
+        # DEAD sweep rows still cost ~1us of grid sequencing per tile-step
+        # (measured r4) — so later bounces only issue rows for the first
+        # g_cap gated rays and flag overflow when the gate admits more
+        # (the caller re-runs the uncapped program; see render_fused).
+        if seg_budget_rows is not None and k1 >= 3:
+            g_cap = min(n, max(512, seg_budget_rows) // (k1 + 1))
+        else:
+            g_cap = n
+        sel = perm[:g_cap]
+        in_cap = inv_perm < g_cap
+        if g_cap < n:
+            overflow = overflow | jnp.any(maybe & ~in_cap)
+
+        seg_origin = jnp.where(g2, prev_pts, _DEAD_ORIGIN)[sel]
+        seg_d = jnp.where(g2, seg_dir, zhat)[sel]
+        seg_bound = jnp.where(g1, _sweep_bound(seg_len), 0.0)[sel]
+        img_origin = jnp.where(g1, final_ip, _DEAD_ORIGIN)[sel]
+        img_d = jnp.where(g1, _safe_normalize(to_mic_image), zhat)[sel]
+        img_bound = jnp.where(maybe, _sweep_bound(mag_image), 0.0)[sel]
         # a dead ray's shadow verdict is never read (emit = alive & vis)
         if _SHADOW_REVERSED:
             (
@@ -575,13 +619,13 @@ def _trace_impl(
             sh_decide = jnp.where(alive_new, mag_diffuse, 0.0)
 
         origins = jnp.concatenate(
-            [sh_origin, seg_origin.reshape(n * k1, 3), img_origin], axis=0
+            [sh_origin, seg_origin.reshape(g_cap * k1, 3), img_origin], axis=0
         )
         dirs = jnp.concatenate(
-            [sh_d, seg_d.reshape(n * k1, 3), img_d], axis=0
+            [sh_d, seg_d.reshape(g_cap * k1, 3), img_d], axis=0
         )
         bounds = jnp.concatenate(
-            [sh_bound, seg_bound.reshape(n * k1), img_bound], axis=0
+            [sh_bound, seg_bound.reshape(g_cap * k1), img_bound], axis=0
         )
         # any-hit decide thresholds: shadow + image-visibility rows only
         # read a verdict; validation segments need the true closest hit
@@ -589,8 +633,8 @@ def _trace_impl(
         decide = jnp.concatenate(
             [
                 sh_decide,
-                jnp.zeros((n * k1,), jnp.float32),
-                jnp.where(maybe, mag_image, 0.0)[perm],
+                jnp.zeros((g_cap * k1,), jnp.float32),
+                jnp.where(maybe, mag_image, 0.0)[sel],
             ],
             axis=0,
         )
@@ -601,15 +645,31 @@ def _trace_impl(
             stats,
             [
                 ("shadow", 0, n),
-                ("seg", n, n + n * k1),
-                ("imgvis", n + n * k1, n * (k1 + 2)),
+                ("seg", n, n + g_cap * k1),
+                ("imgvis", n + g_cap * k1, n + g_cap * (k1 + 1)),
             ],
             t_decide=decide,
         )
-        seg_t = sweep.t[n : n + n * k1].reshape(n, k1)[inv_perm]
-        seg_hit = sweep.hit[n : n + n * k1].reshape(n, k1)[inv_perm]
-        imgvis_t = sweep.t[n + n * k1 :][inv_perm]
-        imgvis_hit = sweep.hit[n + n * k1 :][inv_perm]
+        # scatter the capped validation results back onto full-width rows
+        # (rays beyond the cap read "not validated"; overflow re-runs)
+        seg_t = (
+            jnp.zeros((n, k1), jnp.float32)
+            .at[sel]
+            .set(sweep.t[n : n + g_cap * k1].reshape(g_cap, k1))
+        )
+        seg_hit = (
+            jnp.zeros((n, k1), bool)
+            .at[sel]
+            .set(sweep.hit[n : n + g_cap * k1].reshape(g_cap, k1))
+        )
+        imgvis_t = (
+            jnp.zeros((n,), jnp.float32)
+            .at[sel]
+            .set(sweep.t[n + g_cap * k1 :])
+        )
+        imgvis_hit = (
+            jnp.zeros((n,), bool).at[sel].set(sweep.hit[n + g_cap * k1 :])
+        )
 
         if _SHADOW_REVERSED:
             h_shadow = Hit(
@@ -632,7 +692,7 @@ def _trace_impl(
             Hit(imgvis_t, jnp.zeros_like(imgvis_t, jnp.int32), imgvis_hit),
             mag_image,
         )
-        img_ok = maybe & jnp.all(seg_ok, axis=-1) & img_vis
+        img_ok = maybe & in_cap & jnp.all(seg_ok, axis=-1) & img_vis
 
         # emit the image impulse with the PRE-bounce volume
         # (kernel.cpp:442-455; volume updated only afterwards at :501)
@@ -757,8 +817,8 @@ def _trace_impl(
 
     if consume_row is not None:
         if sweep_stats:
-            return aux, images, stats
-        return aux, images
+            return aux, images, overflow, stats
+        return aux, images, overflow
 
     head_vol = jnp.stack([r[0] for r in diffuse_rows], axis=1) if diffuse_rows else None
     head_pos = jnp.stack([r[1] for r in diffuse_rows], axis=1) if diffuse_rows else None

@@ -142,7 +142,7 @@ def _batched_trace_bin(
     # resort on whenever the scene has enough blocks for the AABB cull to
     # matter (same policy as render_fused)
     resort = bool(m >= 4096 and soup.block_aabb.shape[0] >= 32)
-    hist, images = _trace_impl(
+    hist, images, _overflow = _trace_impl(
         soup,
         mics,
         sources,

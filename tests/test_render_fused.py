@@ -251,8 +251,8 @@ class TestResortInvariance:
         )
 
     def test_resort_matches_unsorted(self, box):
-        h0, mx0, mn0, img0 = self._run(box, resort=False)
-        h1, mx1, mn1, img1 = self._run(box, resort=True)
+        h0, mx0, mn0, img0, _ovf0 = self._run(box, resort=False)
+        h1, mx1, mn1, img1, _ovf1 = self._run(box, resort=True)
         np.testing.assert_allclose(
             np.asarray(h0), np.asarray(h1), rtol=1e-5, atol=1e-7
         )
@@ -268,7 +268,7 @@ class TestResortInvariance:
         import jax.numpy as jnp
 
         n = 96
-        h_pad, mx_p, mn_p, img_p = self._run(
+        h_pad, mx_p, mn_p, img_p, _ovf = self._run(
             box, resort=True, n=2 * n, nvalid=n
         )
         # reference: explicit n-ray run (same leading directions)
@@ -284,7 +284,7 @@ class TestResortInvariance:
         spec = make_atten_spec(cfg.attenuation_model)
         dirs = random_directions(2 * n, seed=3)[:n]
         length = histogram_length(box, cfg.reflections, cfg.sample_rate)
-        h_ref, mx_r, mn_r, img_r = _fused_trace_bin(
+        h_ref, mx_r, mn_r, img_r, _ovf_r = _fused_trace_bin(
             soup,
             jnp.asarray(cfg.mic_position),
             jnp.asarray(cfg.source_position),
