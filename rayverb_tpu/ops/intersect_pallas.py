@@ -72,11 +72,22 @@ import os as _os
 RAY_BLOCK = int(_os.environ.get("RAYVERB_RAY_BLOCK", "512"))
 
 # Traversal orders are shared per 512-ray GROUP regardless of RAY_BLOCK:
-# the (groups, super-steps) order table must fit SMEM (1 MB), and order
+# the (super-steps, groups) order table must fit SMEM (1 MB), and order
 # quality at 512-ray granularity is indistinguishable — only the cull
 # (slab `possible`) needs the finer tile. Rays are padded to 512-row
 # multiples, so RAY_BLOCK must divide the group evenly (ADVICE r3).
 ORDER_GROUP_RAYS = 512
+
+# SMEM budget for the scalar-prefetched order table. Mosaic pads the
+# table's minor dim to 128 lanes and SMEM is 1 MB total (order + live
+# flags + register spills); a (groups, steps) layout at 1M sweep rows x
+# 64 super-steps padded 64->128 lanes was EXACTLY 1.00 MB and the
+# compile died 9 KB over budget. The table is therefore laid out
+# (steps, groups) — the groups axis is the large one and lane padding
+# on it is cheap — and when even that exceeds this budget the order
+# granularity coarsens to 1024/2048/...-ray groups (quality loss is
+# marginal: neighbouring 512-groups share octant-major sort locality).
+SMEM_ORDER_BYTES = 512 * 1024
 if RAY_BLOCK < 128 or ORDER_GROUP_RAYS % RAY_BLOCK:
     raise ValueError(
         f"RAYVERB_RAY_BLOCK={RAY_BLOCK} must be a >=128 divisor of "
@@ -128,8 +139,10 @@ def _kernel(
     best_t_ref,
     best_i_ref,
     cnt_ref=None,
+    *,
+    og=_OG,
 ):
-    # order_ref (ray tiles, n super steps) and live_ref (ray tiles,) are
+    # order_ref (n super steps, ray groups) and live_ref (ray tiles,) are
     # scalar-prefetched (SMEM-resident). order_ref holds a PER-RAY-TILE
     # near-to-far traversal order of the TRI_STEP-row super-blocks from
     # that tile's own mean origin: each tile visits its close blocks
@@ -148,7 +161,7 @@ def _kernel(
     # vectorized (TRI_SUBS, RAY_BLOCK) computation.
     rb = pl.program_id(0)
     tb = pl.program_id(1)
-    ob = order_ref[rb // _OG, tb]
+    ob = order_ref[tb, rb // og]
 
     @pl.when(tb == 0)
     def _init():
@@ -302,7 +315,25 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "with_stats"))
+def _order_group_rays(m: int, nsteps: int) -> int:
+    """Rays per traversal-order group: ORDER_GROUP_RAYS, doubled while the
+    SMEM-resident (nsteps, groups) table — sublanes padded to 8, lanes to
+    128, 4 B each — would exceed SMEM_ORDER_BYTES (big sweeps x many
+    super-steps). Any order is correct; coarser sharing only costs cull
+    quality, and neighbouring 512-groups are already octant-sort-local."""
+    og_rays = ORDER_GROUP_RAYS
+    while True:
+        mp = _round_up(max(m, og_rays), og_rays)
+        ngroups = mp // og_rays
+        tbl = _round_up(nsteps, 8) * _round_up(ngroups, 128) * 4
+        if tbl <= SMEM_ORDER_BYTES or og_rays >= mp:
+            return og_rays
+        og_rays *= 2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "with_stats", "og")
+)
 def _closest_hit_padded(
     rays_t,
     tmax_row,
@@ -314,11 +345,14 @@ def _closest_hit_padded(
     *,
     interpret: bool,
     with_stats: bool = False,
+    og: int = _OG,
 ):
     """rays_t: (8, Mp) f32; tmax_row: (1, Mp) f32 per-ray initial bound;
     tris: (Tp, 16) f32 Morton-packed; aabbs: (Tp/TRI_BLOCK, 8); order:
-    (Mp/RAY_BLOCK, Tp/TRI_STEP) i32 per-tile super-step traversal order;
-    live: (Mp/RAY_BLOCK,) i32 per-ray-tile any-positive-bound flags.
+    (Tp/TRI_STEP, Mp/(og*RAY_BLOCK)) i32 per-ray-group super-step
+    traversal order (steps-major so SMEM lane padding rides the groups
+    axis); live: (Mp/RAY_BLOCK,) i32 per-ray-tile any-positive-bound
+    flags; og: ray tiles per order group (static).
     Returns ((1, Mp) t, (1, Mp) original idx, -1 = miss)."""
     mp = rays_t.shape[1]
     tp = tris.shape[0]
@@ -355,7 +389,7 @@ def _closest_hit_padded(
                 # dead ray tiles pin their triangle operand to block 0, so
                 # the pipeline issues no fresh DMA across their whole sweep
                 lambda r, t, order, live: (
-                    jnp.where(live[r] > 0, order[r // _OG, t], 0),
+                    jnp.where(live[r] > 0, order[t, r // og], 0),
                     0,
                 ),
                 memory_space=pltpu.VMEM,
@@ -377,7 +411,7 @@ def _closest_hit_padded(
     if with_stats:
         out_shape.append(jax.ShapeDtypeStruct((1, mp), jnp.int32))
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, og=og),
         grid_spec=grid_spec,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
@@ -444,9 +478,13 @@ def closest_hit_pallas(
         interpret = jax.default_backend() != "tpu"
 
     m = origins.shape[0]
-    # pad to the order-group width so the (groups, steps) order table
+    tris, aabbs = _block_padded(soup)
+    nsteps = aabbs.shape[0] // TRI_SUBS
+    og_rays = _order_group_rays(m, nsteps)
+    # pad to the order-group width so the (steps, groups) order table
     # tiles evenly over RAY_BLOCK-lane cull tiles
-    mp = _round_up(max(m, ORDER_GROUP_RAYS), ORDER_GROUP_RAYS)
+    mp = _round_up(max(m, og_rays), og_rays)
+    ngroups = mp // og_rays
     rays_t = jnp.concatenate(
         [
             jnp.asarray(origins, jnp.float32).T,
@@ -475,7 +513,6 @@ def closest_hit_pallas(
             [decide_row, jnp.zeros((1, mp - m), jnp.float32)], axis=1
         )
 
-    tris, aabbs = _block_padded(soup)
     # PER-RAY-TILE traversal order: each tile walks the blocks front-to-
     # back along its own mean ray — ordered by the projection of the
     # block center onto the tile's mean direction from the tile's mean
@@ -487,7 +524,6 @@ def closest_hit_pallas(
     # over LIVE rows only: neutralized rows are parked far outside the
     # scene and would otherwise wreck the order (their tiles are dead
     # anyway; empty padding blocks sit at 1e30 and sort last).
-    ngroups = mp // ORDER_GROUP_RAYS
     centers = 0.5 * (aabbs[:, 0:3] + aabbs[:, 3:6])
 
     def _pad_rows(x):
@@ -496,12 +532,12 @@ def closest_hit_pallas(
             return x
         return jnp.concatenate([x, jnp.zeros((mp - m, 3), jnp.float32)], 0)
 
-    o_pad = _pad_rows(origins).reshape(ngroups, ORDER_GROUP_RAYS, 3)
-    d_pad = _pad_rows(dirs).reshape(ngroups, ORDER_GROUP_RAYS, 3)
+    o_pad = _pad_rows(origins).reshape(ngroups, og_rays, 3)
+    d_pad = _pad_rows(dirs).reshape(ngroups, og_rays, 3)
     w_t = (
         (tmax_row[0] > 0)
         .astype(jnp.float32)
-        .reshape(ngroups, ORDER_GROUP_RAYS)
+        .reshape(ngroups, og_rays)
     )
     wsum = jnp.maximum(jnp.sum(w_t, axis=1, keepdims=True), 1.0)
     centroid = jnp.sum(o_pad * w_t[..., None], axis=1) / wsum  # (ngroups, 3)
@@ -517,7 +553,9 @@ def closest_hit_pallas(
     )
     # super-step order: a TRI_STEP step ranks by its best sub-block
     rank_super = jnp.min(rank.reshape(ngroups, -1, TRI_SUBS), axis=2)
-    order = jnp.argsort(rank_super, axis=1).astype(jnp.int32)
+    # steps-major layout: SMEM lane padding (minor dim -> 128) lands on
+    # the groups axis, which is large and cheap to pad
+    order = jnp.argsort(rank_super, axis=1).astype(jnp.int32).T
     live = (
         (tmax_row > 0)
         .reshape(mp // RAY_BLOCK, RAY_BLOCK)
@@ -534,6 +572,7 @@ def closest_hit_pallas(
         live,
         interpret=interpret,
         with_stats=with_stats,
+        og=og_rays // RAY_BLOCK,
     )
     best_t, best_i = outs[0], outs[1]
     idx = best_i[0, :m]

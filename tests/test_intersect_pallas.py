@@ -106,3 +106,29 @@ def test_decide_mode_verdicts_match(large_square_soup, rng):
     vis_ref = (~np.asarray(ref.hit)) | (np.asarray(ref.t) > mag)
     vis_got = (~np.asarray(got.hit)) | (np.asarray(got.t) > mag)
     np.testing.assert_array_equal(vis_got, vis_ref)
+
+
+def test_order_group_coarsens_to_fit_smem():
+    """The scalar-prefetched (steps, groups) order table must stay under
+    the SMEM budget: at north-star scale (1M sweep rows x 64 super-steps)
+    the r3 (groups, steps) layout lane-padded to exactly 1.00 MB and the
+    TPU compile died over budget. Groups double until the padded table
+    fits; small sweeps keep the 512-ray default."""
+    from rayverb_tpu.ops.intersect_pallas import (
+        ORDER_GROUP_RAYS,
+        SMEM_ORDER_BYTES,
+        _order_group_rays,
+        _round_up,
+    )
+
+    assert _order_group_rays(4096, 64) == ORDER_GROUP_RAYS
+    # the exact shape that failed on-device: fits in steps-major layout
+    assert _order_group_rays(1 << 20, 64) == ORDER_GROUP_RAYS
+    assert _round_up(64, 8) * _round_up((1 << 20) // 512, 128) * 4 <= (
+        SMEM_ORDER_BYTES
+    )
+    # 4x bigger sweep must coarsen, and the result must still fit
+    og = _order_group_rays(1 << 22, 64)
+    assert og > ORDER_GROUP_RAYS and og % ORDER_GROUP_RAYS == 0
+    mp = _round_up(1 << 22, og)
+    assert _round_up(64, 8) * _round_up(mp // og, 128) * 4 <= SMEM_ORDER_BYTES
