@@ -104,9 +104,9 @@ _OG = ORDER_GROUP_RAYS // RAY_BLOCK
 # cost, DMA batches) and the VPU waste of (1, RB)-shaped slab math —
 # measured on the 100k-tri hall probe, ~75% of steps cull everything, so
 # per-step overhead was the bottleneck once the admission gates starved
-# the Möller-Trumbore work itself.
-TRI_SUBS = int(_os.environ.get("RAYVERB_TRI_SUBS", "8"))
-TRI_STEP = TRI_BLOCK * TRI_SUBS
+# the Möller-Trumbore work itself. Per sweep the effective value clamps
+# to the scene's block count (small scenes keep their compiled programs).
+TRI_SUBS = int(_os.environ.get("RAYVERB_TRI_SUBS", "16"))
 
 # Lanes per Woop-evaluation gate: inside a surviving sub-block, the
 # per-pair work can additionally run per LANE_GATE-lane chunk, each chunk
@@ -141,6 +141,7 @@ def _kernel(
     cnt_ref=None,
     *,
     og=_OG,
+    subs=TRI_SUBS,
 ):
     # order_ref (n super steps, ray groups) and live_ref (ray tiles,) are
     # scalar-prefetched (SMEM-resident). order_ref holds a PER-RAY-TILE
@@ -198,7 +199,7 @@ def _kernel(
         tf = jnp.where(zero, jnp.where(inside, jnp.inf, -jnp.inf), tf)
         return tn, tf
 
-    ab = aabb_ref[pl.ds(ob * TRI_SUBS, TRI_SUBS), :]  # (TRI_SUBS, 8)
+    ab = aabb_ref[pl.ds(ob * subs, subs), :]  # (subs, 8)
     tnx, tfx = slab_axis(ox, dx, ab[:, 0:1], ab[:, 3:4])
     tny, tfy = slab_axis(oy, dy, ab[:, 1:2], ab[:, 4:5])
     tnz, tfz = slab_axis(oz, dz, ab[:, 2:3], ab[:, 5:6])
@@ -221,7 +222,7 @@ def _kernel(
         & undecided
     )  # (TRI_SUBS, RB)
 
-    for j in range(TRI_SUBS):
+    for j in range(subs):
         sub = slice(j * TRI_BLOCK, (j + 1) * TRI_BLOCK)
         for c in range(RAY_BLOCK // LANE_GATE):
             lanes = slice(c * LANE_GATE, (c + 1) * LANE_GATE)
@@ -332,7 +333,7 @@ def _order_group_rays(m: int, nsteps: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "with_stats", "og")
+    jax.jit, static_argnames=("interpret", "with_stats", "og", "subs")
 )
 def _closest_hit_padded(
     rays_t,
@@ -346,17 +347,20 @@ def _closest_hit_padded(
     interpret: bool,
     with_stats: bool = False,
     og: int = _OG,
+    subs: int = TRI_SUBS,
 ):
     """rays_t: (8, Mp) f32; tmax_row: (1, Mp) f32 per-ray initial bound;
     tris: (Tp, 16) f32 Morton-packed; aabbs: (Tp/TRI_BLOCK, 8); order:
-    (Tp/TRI_STEP, Mp/(og*RAY_BLOCK)) i32 per-ray-group super-step
+    (Tp/(TRI_BLOCK*subs), Mp/(og*RAY_BLOCK)) i32 per-ray-group super-step
     traversal order (steps-major so SMEM lane padding rides the groups
     axis); live: (Mp/RAY_BLOCK,) i32 per-ray-tile any-positive-bound
-    flags; og: ray tiles per order group (static).
+    flags; og: ray tiles per order group (static); subs: TRI_BLOCK
+    sub-blocks per grid step (static, <= the scene's block count).
     Returns ((1, Mp) t, (1, Mp) original idx, -1 = miss)."""
     mp = rays_t.shape[1]
     tp = tris.shape[0]
-    grid = (mp // RAY_BLOCK, tp // TRI_STEP)
+    tri_step = TRI_BLOCK * subs
+    grid = (mp // RAY_BLOCK, tp // tri_step)
     flops_per_pair = 40
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # super-step traversal order + tile flags
@@ -385,7 +389,7 @@ def _closest_hit_padded(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (TRI_STEP, 16),
+                (tri_step, 16),
                 # dead ray tiles pin their triangle operand to block 0, so
                 # the pipeline issues no fresh DMA across their whole sweep
                 lambda r, t, order, live: (
@@ -411,7 +415,7 @@ def _closest_hit_padded(
     if with_stats:
         out_shape.append(jax.ShapeDtypeStruct((1, mp), jnp.int32))
     return pl.pallas_call(
-        functools.partial(_kernel, og=og),
+        functools.partial(_kernel, og=og, subs=subs),
         grid_spec=grid_spec,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
@@ -479,7 +483,10 @@ def closest_hit_pallas(
 
     m = origins.shape[0]
     tris, aabbs = _block_padded(soup)
-    nsteps = aabbs.shape[0] // TRI_SUBS
+    # sub-blocks per grid step clamp to the scene's (pow2) block count, so
+    # scenes smaller than TRI_SUBS blocks run a 1-step sweep unchanged
+    subs = min(TRI_SUBS, aabbs.shape[0])
+    nsteps = aabbs.shape[0] // subs
     og_rays = _order_group_rays(m, nsteps)
     # pad to the order-group width so the (steps, groups) order table
     # tiles evenly over RAY_BLOCK-lane cull tiles
@@ -551,8 +558,8 @@ def closest_hit_pallas(
     rank = jnp.where(
         proj > 0, proj + 0.25 * jnp.sqrt(lateral2), 1e30 + lateral2
     )
-    # super-step order: a TRI_STEP step ranks by its best sub-block
-    rank_super = jnp.min(rank.reshape(ngroups, -1, TRI_SUBS), axis=2)
+    # super-step order: a grid step ranks by its best sub-block
+    rank_super = jnp.min(rank.reshape(ngroups, -1, subs), axis=2)
     # steps-major layout: SMEM lane padding (minor dim -> 128) lands on
     # the groups axis, which is large and cheap to pad
     order = jnp.argsort(rank_super, axis=1).astype(jnp.int32).T
@@ -573,6 +580,7 @@ def closest_hit_pallas(
         interpret=interpret,
         with_stats=with_stats,
         og=og_rays // RAY_BLOCK,
+        subs=subs,
     )
     best_t, best_i = outs[0], outs[1]
     idx = best_i[0, :m]

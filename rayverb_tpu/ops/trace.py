@@ -88,6 +88,12 @@ def _dir_morton(d):
 #   octant — direction octant major, then position Morton (the r3 key)
 #   cell8  — scene-octant position cell major, then FULL direction Morton
 #   cell64 — 64-cell position major, then direction Morton
+#   mix6   — 6-D Morton: position and direction bits interleaved 1:1, so
+#            every level of the sort hierarchy halves BOTH the origin
+#            cell and the cone — the split adapts to population size
+#            (more rays per tile -> finer cells AND narrower cones
+#            simultaneously), where the cell variants fix the position
+#            granularity regardless of scale
 # The cell variants spend fewer bits on origin locality and many more on
 # direction: a 512-ray tile then covers a small origin cell AND a narrow
 # cone, shrinking the swept corridor (executed block set) of the kernel's
@@ -120,6 +126,22 @@ def _ray_sort_key(pos, direction, lo, inv_span):
         # top 6 position bits (64 cells), then 26 direction bits
         return ((m >> np.uint32(21)) << np.uint32(26)) | (
             _dir_morton(direction) >> np.uint32(1)
+        )
+    if _SORT_KEY_VARIANT == "mix6":
+        # 1:1 interleave of the top 16 position-Morton and top 16
+        # direction-Morton bits (position at the higher bit of each pair,
+        # so position splits first at equal depth)
+        def _spread16(x):
+            x = x & np.uint32(0xFFFF)
+            x = (x | (x << 8)) & np.uint32(0x00FF00FF)
+            x = (x | (x << 4)) & np.uint32(0x0F0F0F0F)
+            x = (x | (x << 2)) & np.uint32(0x33333333)
+            x = (x | (x << 1)) & np.uint32(0x55555555)
+            return x
+
+        dm = _dir_morton(direction)
+        return (_spread16(m >> np.uint32(11)) << np.uint32(1)) | _spread16(
+            dm >> np.uint32(11)
         )
     # octant-MAJOR (r3 default): a 512-ray tile shares a direction cone
     # as well as an origin cluster. (A finer 64-cone direction split in

@@ -13,7 +13,11 @@ Commit the printed log as docs/kernel_parity_tpu.log so the compiled
 kernel's correctness is a checked-in artifact, not an implication of the
 benchmark numbers.
 
-Usage: python scripts/kernel_parity.py [--rays 8192] [--seed 3]
+Usage: python scripts/kernel_parity.py [--rays 2048] [--seed 3]
+
+(The float64 reference is pure numpy at ~54 pair-flops each — the 2048
+default keeps the hall check to a few minutes of host time; the sweep
+itself is one TPU dispatch either way.)
 """
 
 import argparse
@@ -97,6 +101,7 @@ def check_scene(name, scene, nrays, seed):
     decide = np.zeros(nrays, np.float32)
     decide[2 * third:] = mag[2 * third:]
 
+    print(f"[{name}] compiling+running TPU sweep...", file=sys.stderr)
     t0 = time.time()
     got = closest_hit_pallas(
         jnp.asarray(o), jnp.asarray(d), soup,
@@ -104,6 +109,8 @@ def check_scene(name, scene, nrays, seed):
     )
     got.t.block_until_ready()
     wall = time.time() - t0
+    print(f"[{name}] sweep done in {wall:.1f}s; float64 host reference "
+          f"({nrays} x {soup.num_padded} pairs)...", file=sys.stderr)
 
     v0 = np.asarray(soup.v0, np.float64)
     e0 = np.asarray(soup.e0, np.float64)
@@ -153,7 +160,7 @@ def check_scene(name, scene, nrays, seed):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rays", type=int, default=8192)
+    ap.add_argument("--rays", type=int, default=2048)
     ap.add_argument("--seed", type=int, default=3)
     args = ap.parse_args()
 
