@@ -247,6 +247,7 @@ class ChunkOut(NamedTuple):
     max_time: jax.Array      # () diffuse max time
     min_time: jax.Array      # () earliest non-zero diffuse time (predelay)
     overflow: jax.Array      # () bool: seg-budget overflow (re-run uncapped)
+    tstats: object = None    # dict of per-kind executed-pair scalars, or None
 
 
 def _chunk_core(
@@ -264,6 +265,7 @@ def _chunk_core(
     include_diffuse: bool,
     init_hist=None,
     resort: bool = False,
+    sweep_stats: bool = False,
     seg_budget_rows: int | None = None,
 ) -> ChunkOut:
     """Trace one ray chunk and bin its diffuse contribution (accumulating
@@ -302,7 +304,7 @@ def _chunk_core(
         else init_hist
     )
     aux0 = (hist0, jnp.float32(0.0), jnp.float32(jnp.inf))
-    (hist, max_t, min_t), images, overflow = _trace_impl(
+    out = _trace_impl(
         soup,
         mic,
         source,
@@ -313,8 +315,11 @@ def _chunk_core(
         aux0=aux0,
         nvalid=nvalid,
         resort=resort,
+        sweep_stats=sweep_stats,
         seg_budget_rows=seg_budget_rows,
     )
+    (hist, max_t, min_t), images, overflow = out[0], out[1], out[2]
+    tstats = out[3] if sweep_stats else None
     img_vol, img_pos, img_time, img_idx = images
 
     h1, h2 = chain_hashes(img_idx)
@@ -337,6 +342,7 @@ def _chunk_core(
         max_time=max_t,
         min_time=min_t,
         overflow=overflow,
+        tstats=tstats,
     )
 
 
@@ -444,6 +450,7 @@ def _fused_trace_bin(
         "spec_static",
         "include_diffuse",
         "resort",
+        "sweep_stats",
         "seg_budget_rows",
     ),
 )
@@ -463,6 +470,7 @@ def _fused_trace_all(
     spec_static,
     include_diffuse: bool,
     resort: bool = False,
+    sweep_stats: bool = False,
     seg_budget_rows: int | None = None,
 ):
     """One trace+bin SEGMENT as one compiled program: lax.scan over ray
@@ -480,7 +488,10 @@ def _fused_trace_all(
     k, chunk, _ = directions.shape
 
     def body(carry, xs):
-        hist, mx, mn, ovf = carry
+        if sweep_stats:
+            hist, mx, mn, ovf, st_acc = carry
+        else:
+            hist, mx, mn, ovf = carry
         dirs, nv = xs
         out = _chunk_core(
             soup,
@@ -496,6 +507,7 @@ def _fused_trace_all(
             include_diffuse=include_diffuse,
             init_hist=hist,
             resort=resort,
+            sweep_stats=sweep_stats,
             seg_budget_rows=seg_budget_rows,
         )
         carry = (
@@ -504,6 +516,11 @@ def _fused_trace_all(
             jnp.minimum(mn, out.min_time),
             ovf | out.overflow,
         )
+        if sweep_stats:
+            carry = carry + (
+                st_acc
+                + jnp.stack([out.tstats[k] for k in sorted(out.tstats)]),
+            )
         ys = (
             out.img_volume,
             out.img_position,
@@ -515,13 +532,15 @@ def _fused_trace_all(
         )
         return carry, ys
 
-    (hist, max_t, min_t, ovf), ys = jax.lax.scan(
-        body, carry_in, (directions, nvalid)
-    )
+    carry_out, ys = jax.lax.scan(body, carry_in, (directions, nvalid))
     s = NUM_IMAGE_SOURCE
     imgs = tuple(
         y.reshape((k * chunk, s) + y.shape[3:]) for y in ys
     )
+    if sweep_stats:
+        hist, max_t, min_t, ovf, st_acc = carry_out
+        return hist, max_t, min_t, imgs, ovf, st_acc
+    hist, max_t, min_t, ovf = carry_out
     return hist, max_t, min_t, imgs, ovf
 
 
@@ -1010,10 +1029,12 @@ def render_fused(
             jnp.float32(jnp.inf),
             jnp.bool_(False),
         )
+        if sweep_stats:
+            carry = carry + (jnp.zeros((4,), jnp.float32),)
         img_parts = []
         for si in range(nseg):
             sl = slice(si * seg, (si + 1) * seg)
-            hist, max_t_dev, min_t_dev, part, ovf = _fused_trace_all(
+            out = _fused_trace_all(
                 soup,
                 config.mic_position,
                 config.source_position,
@@ -1028,9 +1049,13 @@ def render_fused(
                 spec_static=spec_static,
                 include_diffuse=include_diffuse,
                 resort=resort,
+                sweep_stats=sweep_stats,
                 seg_budget_rows=budget,
             )
+            hist, max_t_dev, min_t_dev, part, ovf = out[:5]
             carry = (hist, max_t_dev, min_t_dev, ovf)
+            if sweep_stats:
+                carry = carry + (out[5],)
             img_parts.append(part)
         imgs = (
             img_parts[0]
@@ -1039,7 +1064,15 @@ def render_fused(
                 jnp.concatenate(parts, axis=0) for parts in zip(*img_parts)
             )
         )
-        return hist, max_t_dev, min_t_dev, imgs, ovf, None
+        tstats = None
+        if sweep_stats:
+            # accumulated across chunks/segments; keys in sorted order,
+            # matching the body's jnp.stack
+            st = np.asarray(carry[4])
+            tstats = dict(
+                zip(("bounce", "imgvis", "seg", "shadow"), st.tolist())
+            )
+        return hist, max_t_dev, min_t_dev, imgs, ovf, tstats
 
     hist, max_t_dev, min_t_dev, imgs, ovf, trace_stats = _run_trace(
         seg_budget
@@ -1148,7 +1181,7 @@ def render_fused(
         info["ray_bounces_per_s"] = n * config.reflections / max(total, 1e-9)
         if trace_stats is not None:
             # post-cull pair tests the kernel actually executed, split by
-            # sweep kind (RAYVERB_SWEEP_STATS=1; single-pass path only)
+            # sweep kind (RAYVERB_SWEEP_STATS=1; single-pass and chunked)
             executed = {k: float(v) for k, v in trace_stats.items()}
             info["pair_tests_executed"] = executed
             info["pair_tests_executed_total"] = sum(executed.values())
