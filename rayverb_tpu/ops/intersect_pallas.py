@@ -222,94 +222,102 @@ def _kernel(
         & undecided
     )  # (TRI_SUBS, RB)
 
-    for j in range(subs):
-        sub = slice(j * TRI_BLOCK, (j + 1) * TRI_BLOCK)
-        for c in range(RAY_BLOCK // LANE_GATE):
-            lanes = slice(c * LANE_GATE, (c + 1) * LANE_GATE)
+    # the sub-block/lane-chunk regions nest under one per-STEP region:
+    # fully-culled steps (the majority — dead tiles and resolved
+    # corridors) evaluate ONE branch instead of subs x chunks. Measured
+    # region-entry cost is ~0.1-0.2 us (the LANE_GATE=128 experiment:
+    # 4x regions cost ~2 s on the 64k probe), so collapsing ~75% of the
+    # ~1M regions per 1M-row sweep is seconds at north-star scale.
+    @pl.when(jnp.any(possible))
+    def _step():
+        for j in range(subs):
+            sub = slice(j * TRI_BLOCK, (j + 1) * TRI_BLOCK)
+            for c in range(RAY_BLOCK // LANE_GATE):
+                lanes = slice(c * LANE_GATE, (c + 1) * LANE_GATE)
 
-            @pl.when(jnp.any(possible[j, lanes]))
-            def _mt(sub=sub, lanes=lanes):
-                if cnt_ref is not None:
-                    # SURVIVING (executed) TRI_BLOCK x LANE_GATE units,
-                    # broadcast across the chunk's lanes — the post-cull
-                    # work observability SURVEY.md §5 calls for
-                    cnt_ref[0:1, lanes] = cnt_ref[0:1, lanes] + 1
-                # triangle transform constants: (TB, 1) columns
-                # (build_sweep_table packs [row_u, row_v, n, idx, bu bv bw])
-                aux = tris_ref[sub, 0:1]
-                auy = tris_ref[sub, 1:2]
-                auz = tris_ref[sub, 2:3]
-                avx = tris_ref[sub, 3:4]
-                avy = tris_ref[sub, 4:5]
-                avz = tris_ref[sub, 5:6]
-                nx = tris_ref[sub, 6:7]
-                ny = tris_ref[sub, 7:8]
-                nz = tris_ref[sub, 8:9]
-                oidx = tris_ref[sub, 9:10].astype(jnp.int32)  # original idx
-                bu = tris_ref[sub, 10:11]
-                bv = tris_ref[sub, 11:12]
-                bw = tris_ref[sub, 12:13]
+                @pl.when(jnp.any(possible[j, lanes]))
+                def _mt(sub=sub, lanes=lanes):
+                    if cnt_ref is not None:
+                        # SURVIVING (executed) TRI_BLOCK x LANE_GATE units,
+                        # broadcast across the chunk's lanes — the post-cull
+                        # work observability SURVEY.md §5 calls for
+                        cnt_ref[0:1, lanes] = cnt_ref[0:1, lanes] + 1
+                    # triangle transform constants: (TB, 1) columns
+                    # (build_sweep_table packs [row_u, row_v, n, idx, bu bv bw])
+                    aux = tris_ref[sub, 0:1]
+                    auy = tris_ref[sub, 1:2]
+                    auz = tris_ref[sub, 2:3]
+                    avx = tris_ref[sub, 3:4]
+                    avy = tris_ref[sub, 4:5]
+                    avz = tris_ref[sub, 5:6]
+                    nx = tris_ref[sub, 6:7]
+                    ny = tris_ref[sub, 7:8]
+                    nz = tris_ref[sub, 8:9]
+                    oidx = tris_ref[sub, 9:10].astype(jnp.int32)  # original idx
+                    bu = tris_ref[sub, 10:11]
+                    bv = tris_ref[sub, 11:12]
+                    bw = tris_ref[sub, 12:13]
 
-                # fresh (1, LANE_GATE) loads straight from the ref: slicing
-                # the already-loaded (1, RAY_BLOCK) vectors instead gives
-                # Mosaic an offset-lane layout it cannot broadcast to the
-                # (TB, LANE_GATE) planes ("Invalid input layout")
-                oxl = rays_ref[0:1, lanes]
-                oyl = rays_ref[1:2, lanes]
-                ozl = rays_ref[2:3, lanes]
-                dxl = rays_ref[3:4, lanes]
-                dyl = rays_ref[4:5, lanes]
-                dzl = rays_ref[5:6, lanes]
+                    # fresh (1, LANE_GATE) loads straight from the ref: slicing
+                    # the already-loaded (1, RAY_BLOCK) vectors instead gives
+                    # Mosaic an offset-lane layout it cannot broadcast to the
+                    # (TB, LANE_GATE) planes ("Invalid input layout")
+                    oxl = rays_ref[0:1, lanes]
+                    oyl = rays_ref[1:2, lanes]
+                    ozl = rays_ref[2:3, lanes]
+                    dxl = rays_ref[3:4, lanes]
+                    dyl = rays_ref[4:5, lanes]
+                    dzl = rays_ref[5:6, lanes]
 
-                # barycentric-space ray: three affine forms for the origin,
-                # three linear for the direction — (TB, LANE_GATE) planes
-                ou = aux * oxl + auy * oyl + auz * ozl + bu
-                ov = avx * oxl + avy * oyl + avz * ozl + bv
-                ow = nx * oxl + ny * oyl + nz * ozl + bw
-                du = aux * dxl + auy * dyl + auz * dzl
-                dv = avx * dxl + avy * dyl + avz * dzl
-                dw = nx * dxl + ny * dyl + nz * dzl
+                    # barycentric-space ray: three affine forms for the origin,
+                    # three linear for the direction — (TB, LANE_GATE) planes
+                    ou = aux * oxl + auy * oyl + auz * ozl + bu
+                    ov = avx * oxl + avy * oyl + avz * ozl + bv
+                    ow = nx * oxl + ny * oyl + nz * ozl + bw
+                    du = aux * dxl + auy * dyl + auz * dzl
+                    dv = avx * dxl + avy * dyl + avz * dzl
+                    dw = nx * dxl + ny * dyl + nz * dzl
 
-                # dw = n.d = -det(Möller–Trumbore): the reference's own
-                # |det| < EPSILON degeneracy rejection (kernel.cpp:68-70)
-                degenerate = jnp.abs(dw) < EPSILON
-                t = -ow / jnp.where(degenerate, 1.0, dw)
-                u = ou + t * du
-                v = ov + t * dv
+                    # dw = n.d = -det(Möller–Trumbore): the reference's own
+                    # |det| < EPSILON degeneracy rejection (kernel.cpp:68-70)
+                    degenerate = jnp.abs(dw) < EPSILON
+                    t = -ow / jnp.where(degenerate, 1.0, dw)
+                    u = ou + t * du
+                    v = ov + t * dv
 
-                valid = (
-                    (~degenerate)
-                    & (u >= 0.0) & (u <= 1.0)
-                    & (v >= 0.0) & (u + v <= 1.0)
-                    & (t > EPSILON)
-                )
-                t = jnp.where(valid, t, jnp.inf)
+                    valid = (
+                        (~degenerate)
+                        & (u >= 0.0) & (u <= 1.0)
+                        & (v >= 0.0) & (u + v <= 1.0)
+                        & (t > EPSILON)
+                    )
+                    t = jnp.where(valid, t, jnp.inf)
 
-                # per-ray reduction over the triangle sublanes; ties keep
-                # the lowest original triangle index (reference strict '<'
-                # update)
-                tmin = jnp.min(t, axis=0, keepdims=True)    # (1, LANE_GATE)
-                cand = jnp.min(
-                    jnp.where(t <= tmin, oidx, _BIG_I32),
-                    axis=0,
-                    keepdims=True,
-                )
+                    # per-ray reduction over the triangle sublanes; ties keep
+                    # the lowest original triangle index (reference strict '<'
+                    # update)
+                    tmin = jnp.min(t, axis=0, keepdims=True)    # (1, LANE_GATE)
+                    cand = jnp.min(
+                        jnp.where(t <= tmin, oidx, _BIG_I32),
+                        axis=0,
+                        keepdims=True,
+                    )
 
-                bt = best_t_ref[0:1, lanes]
-                bi = best_i_ref[0:1, lanes]
-                # ties resolve to the lowest original index; a first hit
-                # exactly AT the initial bound is kept (the XLA sweep's
-                # t <= t_max is inclusive). The isfinite guard keeps
-                # hitless blocks (tmin = inf, where cand degenerates to
-                # the block's min index) from recording a bogus hit when
-                # the running best is also inf.
-                better = (tmin < bt) | (
-                    (tmin == bt)
-                    & jnp.isfinite(tmin)
-                    & ((cand < bi) | (bi < 0))
-                )
-                best_t_ref[0:1, lanes] = jnp.where(better, tmin, bt)
-                best_i_ref[0:1, lanes] = jnp.where(better, cand, bi)
+                    bt = best_t_ref[0:1, lanes]
+                    bi = best_i_ref[0:1, lanes]
+                    # ties resolve to the lowest original index; a first hit
+                    # exactly AT the initial bound is kept (the XLA sweep's
+                    # t <= t_max is inclusive). The isfinite guard keeps
+                    # hitless blocks (tmin = inf, where cand degenerates to
+                    # the block's min index) from recording a bogus hit when
+                    # the running best is also inf.
+                    better = (tmin < bt) | (
+                        (tmin == bt)
+                        & jnp.isfinite(tmin)
+                        & ((cand < bi) | (bi < 0))
+                    )
+                    best_t_ref[0:1, lanes] = jnp.where(better, tmin, bt)
+                    best_i_ref[0:1, lanes] = jnp.where(better, cand, bi)
 
 
 def _round_up(n: int, m: int) -> int:

@@ -100,7 +100,11 @@ def _dir_morton(d):
 # per-tile cull at large populations where each (cell, cone) bucket still
 # fills whole tiles. Ray order is semantically free (the reference's RNG
 # order carries no meaning).
-_SORT_KEY_VARIANT = __import__("os").environ.get("RAYVERB_SORT_KEY", "octant")
+# Default mix6: measured best at the 1M-ray north star (bounce executed
+# pairs 497 G octant / 430 G cell64 / 405 G mix6; trace_bin 26.3 / 24.8 /
+# 23.7 s with stats on). At 64k-probe scale the variants are within a few
+# % of each other — the adaptive key's advantage shows up at scale.
+_SORT_KEY_VARIANT = __import__("os").environ.get("RAYVERB_SORT_KEY", "mix6")
 
 
 def _ray_sort_key(pos, direction, lo, inv_span):
