@@ -67,8 +67,9 @@ class TriangleSoup(NamedTuple):
 # Triangle rows per sweep-kernel block (and per-block AABB). Measured on
 # v5e at 128k rays x 100k tris: 256 beats 512 (15.9 s -> 13.8 s trace) —
 # the finer AABB granularity culls more Moller-Trumbore work than the
-# halved tile count saves in fixed overhead.
-SWEEP_BLOCK = 256
+# halved tile count saves in fixed overhead. Env-tunable for granularity
+# experiments (must stay a multiple of 8 = f32 sublane tiling).
+SWEEP_BLOCK = int(__import__("os").environ.get("RAYVERB_SWEEP_BLOCK", "256"))
 
 
 def _morton3(q: np.ndarray) -> np.ndarray:
