@@ -116,12 +116,13 @@ def load_obj(path: str) -> RawMesh:
 
 
 def load_mesh(path: str) -> RawMesh:
-    """Load a 3D model: OBJ (+MTL) or DXF (3DFACE).
+    """Load a 3D model: OBJ (+MTL), DXF (3DFACE), STL, or PLY.
 
     The reference accepts any Assimp-supported format
     (cmd/parallel_raytrace.1.md:36-39); OBJ + DXF cover its entire demo
-    corpus (room1-3.dxf included). Other extensions raise a clear error
-    so callers can convert.
+    corpus (room1-3.dxf included), and STL/PLY cover the common interchange
+    formats beyond it. Other extensions raise a clear error so callers can
+    convert.
     """
     ext = os.path.splitext(path)[1].lower()
     if ext == ".obj":
@@ -130,6 +131,15 @@ def load_mesh(path: str) -> RawMesh:
         from .dxfloader import load_dxf
 
         return load_dxf(path)
+    if ext == ".stl":
+        from .stlply import load_stl
+
+        return load_stl(path)
+    if ext == ".ply":
+        from .stlply import load_ply
+
+        return load_ply(path)
     raise ValueError(
-        f"Unsupported model format {ext!r}; supported formats: .obj, .dxf"
+        f"Unsupported model format {ext!r}; supported formats: "
+        ".obj, .dxf, .stl, .ply"
     )

@@ -170,3 +170,132 @@ def test_dxf_rooms_load(assets_dir):
     )
     # 876 real triangles (+ scene-compile padding rows)
     assert 876 <= scene.v0.shape[0] <= 896
+
+
+def _write_binary_stl(path, tris):
+    import struct
+
+    tris = np.asarray(tris, np.float32)
+    with open(path, "wb") as fh:
+        fh.write(b"\0" * 80)
+        fh.write(struct.pack("<I", len(tris)))
+        for t in tris:
+            fh.write(struct.pack("<3f", 0, 0, 0))  # normal (ignored)
+            for v in t:
+                fh.write(struct.pack("<3f", *v))
+            fh.write(struct.pack("<H", 0))
+
+
+def test_stl_binary_and_ascii(tmp_path):
+    """STL (both encodings) loads as a soup bound to the default surface
+    (the reference imports STL via Assimp, rayverb.cpp:447-461; STL has no
+    material names, so faces land on surface row 0 like any unmatched
+    material, rayverb.cpp:336-341)."""
+    from rayverb_tpu.scene.stlply import load_stl
+
+    tris = [
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+        [[0, 0, 1], [1, 0, 1], [0, 1, 1]],
+    ]
+    b = tmp_path / "m.stl"
+    _write_binary_stl(b, tris)
+    mesh = load_stl(str(b))
+    assert mesh.num_triangles == 2
+    np.testing.assert_allclose(mesh.vertices[mesh.faces[0]], tris[0])
+    assert mesh.face_materials == ["", ""]
+
+    a = tmp_path / "ma.stl"
+    lines = ["solid synthetic"]
+    for t in tris:
+        lines += ["facet normal 0 0 0", "outer loop"]
+        lines += [f"vertex {v[0]} {v[1]} {v[2]}" for v in t]
+        lines += ["endloop", "endfacet"]
+    lines.append("endsolid synthetic")
+    a.write_text("\n".join(lines) + "\n")
+    mesh2 = load_stl(str(a))
+    assert mesh2.num_triangles == 2
+    np.testing.assert_allclose(
+        mesh2.vertices[mesh2.faces], mesh.vertices[mesh.faces]
+    )
+
+
+def test_ply_ascii_and_binary(tmp_path):
+    """PLY quads fan-triangulate like Assimp's aiProcess_Triangulate; extra
+    vertex properties and leading scalar face properties are skipped."""
+    from rayverb_tpu.scene.stlply import load_ply
+
+    verts = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0)]
+    a = tmp_path / "m.ply"
+    a.write_text(
+        "ply\nformat ascii 1.0\ncomment synthetic\n"
+        "element vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\n"
+        "element face 1\n"
+        "property uchar flags\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+        + "".join(f"{x} {y} {z} 255\n" for x, y, z in verts)
+        + "7 4 0 1 2 3\n"
+    )
+    mesh = load_ply(str(a))
+    assert mesh.num_triangles == 2  # quad -> 2 tris
+    np.testing.assert_allclose(
+        mesh.vertices[mesh.faces[0]], [verts[0], verts[1], verts[2]]
+    )
+    np.testing.assert_allclose(
+        mesh.vertices[mesh.faces[1]], [verts[0], verts[2], verts[3]]
+    )
+    assert mesh.face_materials == ["", ""]
+
+    import struct
+
+    b = tmp_path / "mb.ply"
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        "element vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\n"
+        "element face 1\n"
+        "property uchar flags\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+    )
+    body = b"".join(
+        struct.pack("<3fB", float(x), float(y), float(z), 255)
+        for x, y, z in verts
+    ) + struct.pack("<BB4i", 7, 4, 0, 1, 2, 3)
+    b.write_bytes(header.encode("ascii") + body)
+    mesh2 = load_ply(str(b))
+    assert mesh2.num_triangles == 2
+    np.testing.assert_allclose(
+        mesh2.vertices[mesh2.faces], mesh.vertices[mesh.faces]
+    )
+
+
+def test_stl_scene_renders_end_to_end(tmp_path, assets_dir):
+    """An STL copy of large_square renders the same first bounce as the
+    OBJ original (format parity through the whole stack)."""
+    from rayverb_tpu import load_obj
+    from rayverb_tpu.ops.intersect import closest_hit_xla, soup_from_scene
+    import jax.numpy as jnp
+
+    src = load_obj(str(assets_dir / "test_models" / "large_square.obj"))
+    p = tmp_path / "sq.stl"
+    _write_binary_stl(p, src.vertices[src.faces])
+    scene = load_scene(
+        str(p), str(assets_dir / "materials" / "mat.json")
+    )
+    ref = load_scene(
+        str(assets_dir / "test_models" / "large_square.obj"),
+        str(assets_dir / "materials" / "mat.json"),
+    )
+    assert scene.num_triangles == ref.num_triangles
+    o = jnp.zeros((4, 3), jnp.float32) + jnp.asarray([0.0, 2.0, 0.0])
+    d = jnp.asarray(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, 0, 1]], jnp.float32
+    )
+    h1 = closest_hit_xla(o, d, soup_from_scene(scene))
+    h2 = closest_hit_xla(o, d, soup_from_scene(ref))
+    np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(h1.hit), np.asarray(h2.hit))
