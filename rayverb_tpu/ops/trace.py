@@ -208,6 +208,17 @@ def _visible_from_hit(hit: Hit, mag):
     return (~hit.hit) | (hit.t > mag)
 
 
+def _inv_permutation(perm):
+    """Inverse permutation by scatter — one O(n) pass where argsort(perm)
+    would run a second full sort (measured ~ms each at 1M rows, two sites
+    per bounce)."""
+    return (
+        jnp.zeros_like(perm)
+        .at[perm]
+        .set(jnp.arange(perm.shape[0], dtype=perm.dtype), unique_indices=True)
+    )
+
+
 # Mic shadow rays run REVERSED (origin at the mic, direction toward the
 # bounce point) unless this env opts back into the reference's
 # surface-to-mic orientation. Rationale: every shadow row of a bounce
@@ -242,7 +253,7 @@ def _shadow_rows(mic, intersection, alive, mag, pair=None):
     else:
         dead = jnp.where(alive, pair, np.int32(0x7FFFFFFF))
         perm = jnp.lexsort((key, dead))
-    inv_perm = jnp.argsort(perm)
+    inv_perm = _inv_permutation(perm)
     mag_eff = mag * (1.0 - 4e-6) - EPSILON
     al1 = alive[:, None]
     zhat = jnp.array([0.0, 0.0, 1.0], jnp.float32)
@@ -598,8 +609,14 @@ def _trace_impl(
         # this must be — and is — a per-bounce implication, never a
         # carried dead-chain flag.
         maybe = alive_new & jnp.all(seg_front, axis=-1)
-        perm = jnp.argsort(~maybe)  # stable: gated-in rays pack first
-        inv_perm = jnp.argsort(perm)
+        # stable partition (gated-in rays pack first) via two cumsums +
+        # one scatter — the row destination IS the inverse permutation,
+        # so this replaces argsort(~maybe) + a second sort with O(n) work
+        csum = jnp.cumsum(maybe.astype(jnp.int32))
+        inv_perm = jnp.where(
+            maybe, csum - 1, csum[-1] + jnp.cumsum((~maybe).astype(jnp.int32)) - 1
+        )
+        perm = _inv_permutation(inv_perm)
         g1 = maybe[:, None]
         g2 = maybe[:, None, None]
         zhat = jnp.array([0.0, 0.0, 1.0], jnp.float32)
