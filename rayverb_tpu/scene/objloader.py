@@ -116,13 +116,13 @@ def load_obj(path: str) -> RawMesh:
 
 
 def load_mesh(path: str) -> RawMesh:
-    """Load a 3D model: OBJ (+MTL), DXF (3DFACE), STL, or PLY.
+    """Load a 3D model: OBJ (+MTL), DXF (3DFACE), STL, PLY, glTF/GLB, or OFF.
 
     The reference accepts any Assimp-supported format
     (cmd/parallel_raytrace.1.md:36-39); OBJ + DXF cover its entire demo
-    corpus (room1-3.dxf included), and STL/PLY cover the common interchange
-    formats beyond it. Other extensions raise a clear error so callers can
-    convert.
+    corpus (room1-3.dxf included), and STL/PLY/glTF/OFF cover the common
+    interchange formats beyond it. Other extensions raise a clear error so
+    callers can convert.
     """
     ext = os.path.splitext(path)[1].lower()
     if ext == ".obj":
@@ -139,7 +139,15 @@ def load_mesh(path: str) -> RawMesh:
         from .stlply import load_ply
 
         return load_ply(path)
+    if ext in (".gltf", ".glb"):
+        from .gltf import load_gltf
+
+        return load_gltf(path)
+    if ext == ".off":
+        from .gltf import load_off
+
+        return load_off(path)
     raise ValueError(
         f"Unsupported model format {ext!r}; supported formats: "
-        ".obj, .dxf, .stl, .ply"
+        ".obj, .dxf, .stl, .ply, .gltf, .glb, .off"
     )

@@ -299,3 +299,196 @@ def test_stl_scene_renders_end_to_end(tmp_path, assets_dir):
     h2 = closest_hit_xla(o, d, soup_from_scene(ref))
     np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(h1.hit), np.asarray(h2.hit))
+
+
+def _glb_bytes(doc: dict, bin_chunk: bytes) -> bytes:
+    """Pack a glTF 2.0 GLB container (JSON + BIN chunks, 4-byte aligned)."""
+    import json as _json
+    import struct
+
+    j = _json.dumps(doc).encode("utf-8")
+    j += b" " * ((4 - len(j) % 4) % 4)
+    b = bin_chunk + b"\0" * ((4 - len(bin_chunk) % 4) % 4)
+    total = 12 + 8 + len(j) + 8 + len(b)
+    return (
+        b"glTF"
+        + struct.pack("<II", 2, total)
+        + struct.pack("<II", len(j), 0x4E4F534A)
+        + j
+        + struct.pack("<II", len(b), 0x004E4942)
+        + b
+    )
+
+
+def test_glb_indexed_triangles_with_transform(tmp_path):
+    """GLB: u16-indexed TRIANGLES under a translated+rotated node; the
+    primitive's material name flows into face_materials (-> material JSON
+    matching downstream, like Assimp's named meshes in the reference)."""
+    import struct
+
+    from rayverb_tpu.scene.gltf import load_gltf
+
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32
+    )
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    bin_chunk = verts.tobytes() + idx.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        # 90 deg about +z then translate: (1,0,0) -> (0,1,0) -> +(5,0,0)
+        "nodes": [
+            {
+                "mesh": 0,
+                "translation": [5.0, 0.0, 0.0],
+                "rotation": [0.0, 0.0, 0.7071067811865476, 0.7071067811865476],
+            }
+        ],
+        "materials": [{"name": "brick"}],
+        "meshes": [
+            {
+                "primitives": [
+                    {
+                        "attributes": {"POSITION": 0},
+                        "indices": 1,
+                        "material": 0,
+                    }
+                ]
+            }
+        ],
+        "buffers": [{"byteLength": len(bin_chunk)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 48, "byteLength": 12},
+        ],
+        "accessors": [
+            {
+                "bufferView": 0,
+                "componentType": 5126,
+                "count": 4,
+                "type": "VEC3",
+            },
+            {
+                "bufferView": 1,
+                "componentType": 5123,
+                "count": 6,
+                "type": "SCALAR",
+            },
+        ],
+    }
+    p = tmp_path / "m.glb"
+    p.write_bytes(_glb_bytes(doc, bin_chunk))
+    mesh = load_gltf(str(p))
+    assert mesh.num_triangles == 2
+    assert mesh.face_materials == ["brick", "brick"]
+    np.testing.assert_allclose(
+        mesh.vertices[mesh.faces[0]],
+        [[5, 0, 0], [5, 1, 0], [4, 1, 0]],
+        atol=1e-6,
+    )
+
+
+def test_gltf_data_uri_strip_and_fan(tmp_path):
+    """.gltf with a base64 data: buffer; TRIANGLE_STRIP keeps consistent
+    winding (odd triangles swap) and TRIANGLE_FAN pivots on vertex 0."""
+    import base64
+    import json as _json
+
+    from rayverb_tpu.scene.gltf import load_gltf
+
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32
+    )
+    blob = verts.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0, 1]}],
+        "nodes": [{"mesh": 0}, {"mesh": 1}],
+        "meshes": [
+            {"primitives": [{"attributes": {"POSITION": 0}, "mode": 5}]},
+            {"primitives": [{"attributes": {"POSITION": 0}, "mode": 6}]},
+        ],
+        "buffers": [
+            {
+                "byteLength": len(blob),
+                "uri": "data:application/octet-stream;base64,"
+                + base64.b64encode(blob).decode("ascii"),
+            }
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(blob)}
+        ],
+        "accessors": [
+            {
+                "bufferView": 0,
+                "componentType": 5126,
+                "count": 4,
+                "type": "VEC3",
+            }
+        ],
+    }
+    p = tmp_path / "m.gltf"
+    p.write_text(_json.dumps(doc))
+    mesh = load_gltf(str(p))
+    assert mesh.num_triangles == 4  # 2 strip + 2 fan
+    # strip: (0,1,2) then (2,1,3) — odd triangle swaps first two
+    np.testing.assert_allclose(
+        mesh.vertices[mesh.faces[1]], verts[[2, 1, 3]], atol=1e-6
+    )
+    # fan: (0,1,2), (0,2,3)
+    np.testing.assert_allclose(
+        mesh.vertices[mesh.faces[3]], verts[[0, 2, 3]], atol=1e-6
+    )
+
+
+def test_off_loader(tmp_path):
+    from rayverb_tpu.scene.gltf import load_off
+
+    p = tmp_path / "m.off"
+    p.write_text(
+        "OFF\n# synthetic\n4 1 4\n"
+        "0 0 0\n1 0 0\n1 1 0\n0 1 0\n"
+        "4 0 1 2 3\n"
+    )
+    mesh = load_off(str(p))
+    assert mesh.num_triangles == 2
+    np.testing.assert_allclose(
+        mesh.vertices[mesh.faces[1]], [[0, 0, 0], [1, 1, 0], [0, 1, 0]]
+    )
+    assert mesh.face_materials == ["", ""]
+
+
+def test_load_mesh_dispatch_gltf_off(tmp_path, assets_dir):
+    """load_scene accepts .glb end to end (scene compile + material
+    matching on the primitive's material name)."""
+    from rayverb_tpu import load_obj
+    from rayverb_tpu.scene.objloader import load_mesh
+
+    src = load_obj(str(assets_dir / "test_models" / "large_square.obj"))
+    tri_verts = src.vertices[src.faces].astype(np.float32)
+    flat = tri_verts.reshape(-1, 3)
+    doc = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0}}]}],
+        "buffers": [{"byteLength": flat.nbytes}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": flat.nbytes}
+        ],
+        "accessors": [
+            {
+                "bufferView": 0,
+                "componentType": 5126,
+                "count": len(flat),
+                "type": "VEC3",
+            }
+        ],
+    }
+    p = tmp_path / "sq.glb"
+    p.write_bytes(_glb_bytes(doc, flat.tobytes()))
+    mesh = load_mesh(str(p))
+    assert mesh.num_triangles == src.num_triangles
+    scene = load_scene(str(p), str(assets_dir / "materials" / "mat.json"))
+    assert scene.num_triangles == src.num_triangles
