@@ -64,7 +64,9 @@ RAY_BLOCK_SORT = 512  # Morton-sort rays when several sweep tiles are in play
 # segments where 4 sufficed because this was sized pre-gating, ADVICE r3):
 # at the measured ~8-14% executed fraction and ~45 G executed pairs/s,
 # 2.5e12 issued pairs ≈ 5-8 s of device time per segment.
-SEG_PAIR_BUDGET = int(2.5e12)
+SEG_PAIR_BUDGET = int(
+    float(os.environ.get("RAYVERB_SEG_PAIR_BUDGET", "2.5e12"))
+)
 
 # Ray populations up to this size trace as ONE single-pass program (full-
 # width sweeps, rows binned in place); larger populations fall back to the
