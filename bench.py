@@ -85,6 +85,52 @@ def run(cfg, scene, ray_chunk, seed=1234, stats=False):
     return cfg.rays * cfg.reflections, wall, info
 
 
+def _bench_datagen(scene, pairs=64, rays=4096, reflections=16):
+    """Steady-state pairs/s of the fused multi-pair datagen program
+    (BASELINE.json config 5; reference analog: one process per render via
+    demo/gen.sh at ~0.1 pairs/s)."""
+    import numpy as np
+
+    from rayverb_tpu.config.schema import parse_config
+    from rayverb_tpu.parallel.datagen import render_irs_batched
+    from rayverb_tpu.utils.directions import random_directions
+
+    cfg = parse_config(
+        json.dumps(
+            {
+                "rays": rays,
+                "reflections": reflections,
+                "sample_rate": 16000,
+                "bit_depth": 16,
+                "source_position": [0, 0, 0],  # overridden per pair
+                "mic_position": [0, 0, 0],
+                "attenuation_model": {
+                    "hrtf": {"facing": [0, 0, 1], "up": [0, 1, 0]}
+                },
+                "trim_tail": False,
+            }
+        )
+    )
+    rng = np.random.default_rng(17)
+    lo, hi = np.asarray(scene.bounds)
+    span = hi - lo
+    sources = (lo + span * (0.2 + 0.6 * rng.random((pairs, 3)))).astype(
+        np.float32
+    )
+    mics = (lo + span * (0.2 + 0.6 * rng.random((pairs, 3)))).astype(
+        np.float32
+    )
+    dirs = np.stack(
+        [random_directions(rays, seed=100 + i) for i in range(pairs)]
+    )
+    irs, _ = render_irs_batched(scene, cfg, sources, mics, dirs)  # compile
+    np.asarray(irs)
+    t0 = time.perf_counter()
+    irs, _ = render_irs_batched(scene, cfg, sources, mics, dirs)
+    np.asarray(irs)
+    return pairs / (time.perf_counter() - t0)
+
+
 def main():
     sys.path.insert(0, REPO)
     from rayverb_tpu import load_config, load_scene
@@ -117,6 +163,10 @@ def main():
         probe_cfg = dataclasses.replace(ns_cfg, rays=65536)
         _, _, probe_info = run(probe_cfg, ns_scene, ray_chunk=4096, stats=True)
         del os.environ["RAYVERB_SWEEP_STATS"]
+
+        # --- batched IR datagen (BASELINE config 5): 64 source/receiver
+        # pairs through the vault in ONE fused multi-pair program ---
+        datagen_pairs_per_s = _bench_datagen(vault_scene)
     except Exception as e:  # pragma: no cover - transient backend failures
         # every program compiled before the failure is in the persistent
         # cache; a fresh process picks up where this one died
@@ -165,6 +215,9 @@ def main():
                         "pair_tests_executed", {}
                     ).items()
                 },
+                # BASELINE config 5: fused multi-pair datagen through the
+                # vault (64 pairs x 4096 rays x 16 refl, stereo HRTF)
+                "datagen_pairs_per_s": round(datagen_pairs_per_s, 2),
             }
         )
     )

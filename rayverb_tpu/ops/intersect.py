@@ -65,11 +65,14 @@ class TriangleSoup(NamedTuple):
 
 
 # Triangle rows per sweep-kernel block (and per-block AABB). Measured on
-# v5e at 128k rays x 100k tris: 256 beats 512 (15.9 s -> 13.8 s trace) —
-# the finer AABB granularity culls more Moller-Trumbore work than the
-# halved tile count saves in fixed overhead. Env-tunable for granularity
+# v5e at the 1M-ray x 100k-tri north star (kernel TRI_SUBS scaled to keep
+# 4096 triangle rows per grid step, i.e. constant grid-step count):
+# 128 beats 256 beats 512 — trace_bin 17.1 / 18.9 / (r2: +2 s) — because
+# finer per-block AABBs cull more Möller-Trumbore work at the SAME fixed
+# cost; 64 regresses (18.9 s at 289 G executed: doubled in-step region
+# count outweighs the extra cull). Env-tunable for granularity
 # experiments (must stay a multiple of 8 = f32 sublane tiling).
-SWEEP_BLOCK = int(__import__("os").environ.get("RAYVERB_SWEEP_BLOCK", "256"))
+SWEEP_BLOCK = int(__import__("os").environ.get("RAYVERB_SWEEP_BLOCK", "128"))
 
 
 def _morton3(q: np.ndarray) -> np.ndarray:

@@ -106,7 +106,10 @@ _OG = ORDER_GROUP_RAYS // RAY_BLOCK
 # per-step overhead was the bottleneck once the admission gates starved
 # the Möller-Trumbore work itself. Per sweep the effective value clamps
 # to the scene's block count (small scenes keep their compiled programs).
-TRI_SUBS = int(_os.environ.get("RAYVERB_TRI_SUBS", "16"))
+# Default 32 pairs with SWEEP_BLOCK=128 to keep 4096 triangle rows per
+# grid step — the r4 granularity sweep's 1M-ray optimum (see the ladder
+# in docs/perf.md: (128, 32) 17.1 s / (256, 16) 18.9 s / (64, 64) 18.9 s).
+TRI_SUBS = int(_os.environ.get("RAYVERB_TRI_SUBS", "32"))
 
 # Lanes per Woop-evaluation gate: inside a surviving sub-block, the
 # per-pair work can additionally run per LANE_GATE-lane chunk, each chunk

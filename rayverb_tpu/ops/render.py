@@ -62,10 +62,12 @@ RAY_BLOCK_SORT = 512  # Morton-sort rays when several sweep tiles are in play
 # building, slab math on culled steps, launch latency), so segments should
 # be as FAT as the kill bound allows. Budgeted on EXECUTED work (r3 ran 16
 # segments where 4 sufficed because this was sized pre-gating, ADVICE r3):
-# at the measured ~8-14% executed fraction and ~45 G executed pairs/s,
-# 2.5e12 issued pairs ≈ 5-8 s of device time per segment.
+# at the measured ~4% executed fraction and ~20-45 G executed pairs/s,
+# 4.5e12 issued pairs ≈ 8-9 s of device time per segment (north star = 2
+# segments, measured trace_bin 17.1 s -> 16.8 s vs the 4-segment split;
+# the observed worker kills were at minutes, not tens of seconds).
 SEG_PAIR_BUDGET = int(
-    float(os.environ.get("RAYVERB_SEG_PAIR_BUDGET", "2.5e12"))
+    float(os.environ.get("RAYVERB_SEG_PAIR_BUDGET", "4.5e12"))
 )
 
 # Ray populations up to this size trace as ONE single-pass program (full-
