@@ -572,6 +572,7 @@ def _finalize(
     nfft: int,
     do_normalize: bool,
     filter_method: str = "fft",
+    img_cap: int | None = None,
 ):
     """Finalize = two compiled programs: (1) image dedup + binning +
     predelay shift + content length; (2) crossover filtering + mixdown +
@@ -595,6 +596,7 @@ def _finalize(
         spec_static=spec_static,
         include_images=include_images,
         remove_direct=remove_direct,
+        img_cap=img_cap,
     )
     mixed, trim_len = _finalize_filter(
         hist,
@@ -621,6 +623,7 @@ def _finalize(
         "spec_static",
         "include_images",
         "remove_direct",
+        "img_cap",
     ),
 )
 def _finalize_hist(
@@ -641,6 +644,7 @@ def _finalize_hist(
     spec_static,
     include_images: bool,
     remove_direct: bool,
+    img_cap: int | None = None,
 ):
     is_hrtf, nchannels = spec_static
     spec = AttenSpec(is_hrtf, nchannels, *spec_arrays)
@@ -653,8 +657,35 @@ def _finalize_hist(
         valid = img_valid.reshape(m)
         if remove_direct:
             valid = valid & (img_slot.reshape(m) != 0)
-        # push invalid rows to the end of the sort order
         sent = np.uint32(0xFFFFFFFF)
+        vol = img_volume.reshape(m, NUM_BANDS)
+        pos = img_position.reshape(m, 3)
+        tim = img_time.reshape(m)
+        if img_cap is not None and img_cap < m:
+            # valid rows are a small fraction of the (rays x slots) grid
+            # at scale (the admission gate rejects most candidates), so
+            # compact them to an img_cap-row buffer before the dedup sort
+            # and the attenuate+bin pass — the caller sizes img_cap from
+            # the EXACT device count, so the compaction never drops rows.
+            # Over-cap safety: dest clamps into the scratch row (cap),
+            # which is masked off below.
+            cpos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+            nvalid = jnp.where(valid.any(), cpos[-1] + 1, 0)
+            dest = jnp.where(valid, jnp.minimum(cpos, img_cap), img_cap)
+            crow = (
+                jnp.zeros((img_cap + 1,), jnp.int32)
+                .at[dest]
+                .set(jnp.arange(m, dtype=jnp.int32))[:img_cap]
+            )
+            cvalid = jnp.arange(img_cap) < jnp.minimum(nvalid, img_cap)
+            h1 = jnp.where(cvalid, h1[crow], sent)
+            h2 = jnp.where(cvalid, h2[crow], sent)
+            vol = vol[crow]
+            pos = pos[crow]
+            tim = jnp.where(cvalid, tim[crow], 0.0)
+            valid = cvalid
+            m = img_cap
+        # push invalid rows to the end of the sort order
         k1 = jnp.where(valid, h1, sent)
         k2 = jnp.where(valid, h2, sent)
         row = jnp.arange(m, dtype=jnp.int32)
@@ -673,9 +704,9 @@ def _finalize_hist(
         )
         img_hist, _, _ = _attenuate_and_bin(
             mic,
-            img_volume.reshape(m, NUM_BANDS),
-            img_position.reshape(m, 3),
-            img_time.reshape(m),
+            vol,
+            pos,
+            tim,
             spec,
             length,
             sample_rate,
@@ -1138,6 +1169,22 @@ def render_fused(
         )
     eff_length = bucket
 
+    # size the dedup/attenuate pass to the EXACT number of admitted image
+    # rows (a tiny device->host count — the host is already synchronised
+    # on max_t above): at scale the (rays x slots) grid is ~1e7 rows of
+    # which only ~1e4-1e5 are valid, and the finalize sort/gathers are
+    # proportional to the buffer width. Power-of-two buckets bound the
+    # number of compiled variants; cap >= m falls back to the plain path.
+    img_cap = None
+    if include_images:
+        v = imgs[4]
+        if config.remove_direct:
+            v = v & (imgs[3] != 0)
+        nvalid = int(jnp.sum(v))
+        cap = max(1024, 1 << (max(nvalid, 1) - 1).bit_length())
+        if 2 * cap <= imgs[4].size:
+            img_cap = cap
+
     mixed, trim_len, content_len = _finalize(
         hist,
         *imgs,
@@ -1155,6 +1202,7 @@ def render_fused(
         nfft=nfft,
         do_normalize=config.normalize,
         filter_method=filter_method,
+        img_cap=img_cap,
     )
 
     if stats:
