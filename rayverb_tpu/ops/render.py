@@ -279,9 +279,10 @@ def _chunk_core(
     Uses the consume-path trace: each bounce's rows scatter into the
     carried histogram the moment they exist (the (N, R) impulse arrays
     never materialise), padding rays are silenced by nvalid volume
-    zeroing, and with resort=True the ray population is re-sorted between
-    bounces to keep sweep tiles spatially coherent (image emissions come
-    back in original ray order, see trace._trace_impl)."""
+    zeroing, and with resort=True each bounce sweep runs over a
+    sweep-local spatially-sorted permutation of its rows to keep sweep
+    tiles coherent (the ray state and all emissions stay in original row
+    order, see trace._sorted_bounce_hit)."""
     from .trace import _trace_impl
 
     mic = jnp.asarray(mic, jnp.float32)

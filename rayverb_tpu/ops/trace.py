@@ -315,15 +315,10 @@ class _RayState(NamedTuple):
     volume: jax.Array    # (N, 8)
     alive: jax.Array     # (N,) bool
     # multi-pair traces only (None otherwise): per-row mic/source and the
-    # row's source/receiver-pair index, riding the state so per-bounce
-    # re-sorting keeps them aligned with the rows they describe
+    # row's source/receiver-pair index
     mic: jax.Array | None = None   # (N, 3)
     src: jax.Array | None = None   # (N, 3)
     pair: jax.Array | None = None  # (N,) int32
-
-
-def _permute_state(st: "_RayState", perm) -> "_RayState":
-    return _RayState(*(None if x is None else x[perm] for x in st))
 
 
 def _diffuse_impulse(soup, mic, state, hit, vis, t_safe):
@@ -397,7 +392,7 @@ def _trace_impl(
     one-process-per-render corpus loop (demo/gen.sh) with ONE program:
     `mic` and `source` become (B, 3) per-pair arrays, row i belongs to
     pair pair_id[i], and every sweep carries all B pairs' rays at full
-    width (per-row mic/source ride _RayState through the re-sorts).
+    width (per-row mic/source ride _RayState).
     Consumed rows then carry two extra columns (mic_row (N,3),
     pair_row (N,)) so the consumer can attenuate and bin per pair, and
     the returned image slots line up with the ORIGINAL row order (use
@@ -414,12 +409,11 @@ def _trace_impl(
     they would emit is dropped by the binner's nonzero check, with no
     per-row masking downstream.
 
-    resort=True (consume path only) re-sorts the ray population between
-    bounces by a position-Morton/direction-octant key: consumed rows are
-    order-free (they scatter into a histogram) and image emissions are
-    scattered back to original ray order through the carried ray ids, so
-    this is semantically invisible — it exists purely to keep sweep tiles
-    spatially coherent for the kernel's AABB cull.
+    resort=True (consume path only) feeds each bounce sweep its rows in
+    position-Morton/direction-octant sorted order (see _sorted_bounce_hit)
+    — a sweep-local permutation, semantically invisible, that restores the
+    tile coherence the kernel's AABB cull feeds on. The ray STATE stays in
+    original row order throughout.
     """
     mic = jnp.asarray(mic, jnp.float32)
     source = jnp.asarray(source, jnp.float32)
@@ -455,13 +449,6 @@ def _trace_impl(
         src=source[pair_id] if multi else None,
         pair=pair_id if multi else None,
     )
-    ray_id = jnp.arange(n, dtype=jnp.int32)
-
-    def _unsort(x):
-        """Scatter a per-ray emission back to original ray order."""
-        if not resort:
-            return x
-        return jnp.zeros_like(x).at[ray_id].set(x)
 
     stats = (
         {
@@ -507,6 +494,37 @@ def _trace_impl(
             out[name] = out[name] + jnp.sum(counts[s // lanes : -(-e // lanes)])
         return hit, out
 
+    def _sorted_bounce_hit(pos, dirv, alive, st_acc, *, do_sort):
+        """Closest-hit bounce sweep with SWEEP-LOCAL spatial sorting.
+
+        Re-sorting between bounces restores the bundle coherence that
+        specular reflection destroys — but only the 7 sweep inputs need
+        the sorted order, and only the 3 hit outputs need unsorting. The
+        r3 implementation permuted the whole ray state instead (volumes,
+        ids, per-pair mic/source, and in the image phase the O(bounce)
+        mirrored-chain planes — up to ~45 gathered floats per ray per
+        bounce) and then scattered every emission back through carried
+        ray ids; keeping the state in original row order deletes all of
+        that per-bounce gather/scatter work while feeding the kernel the
+        identical sorted populations. Dead rays park at _DEAD_ORIGIN with
+        bound 0 exactly as before (their sort keys are their stale state,
+        as in r3 — where they land among the tiles is irrelevant because
+        zero-bound rows cull every block)."""
+        o = jnp.where(alive[:, None], pos, _DEAD_ORIGIN)
+        b = jnp.where(alive, jnp.inf, 0.0)
+        if not (resort and do_sort):
+            return _hit(o, dirv, b, st_acc, [("bounce", 0, n)])
+        key = _ray_sort_key(pos, dirv, lo_b, inv_span)
+        perm = jnp.argsort(key)
+        hs, st_acc = _hit(
+            o[perm], dirv[perm], b[perm], st_acc, [("bounce", 0, n)]
+        )
+        inv = _inv_permutation(perm)
+        return (
+            Hit(t=hs.t[inv], index=hs.index[inv], hit=hs.hit[inv]),
+            st_acc,
+        )
+
     # ---- direct path (image slot 0), identical for every ray of a pair
     # (one B-row sweep in multi mode, gathered back onto rows) ----
     d_vol, d_pos, d_time = _direct_image(soup, mic, source, impl)
@@ -530,27 +548,18 @@ def _trace_impl(
     # ---- phase A: bounces that participate in the image-source search ----
     n_image_bounces = min(nreflections, NUM_IMAGE_SOURCE - 1)
     for index in range(n_image_bounces):
-        if resort and index > 0:
-            sort_key = _ray_sort_key(state.pos, state.dir, lo_b, inv_span)
-            perm_r = jnp.argsort(sort_key)
-            state = _permute_state(state, perm_r)
-            mic_reflection = mic_reflection[perm_r]
-            prev_tris = [p[perm_r] for p in prev_tris]
-            ray_id = ray_id[perm_r]
-        # per-row mic/source in CURRENT state order (multi-pair mode);
-        # (3,)-broadcast otherwise — downstream math is shape-agnostic
+        # per-row mic/source (multi-pair mode); (3,)-broadcast otherwise —
+        # downstream math is shape-agnostic
         smic = state.mic if multi else mic
         ssrc = state.src if multi else source
         src_col = jnp.broadcast_to(ssrc, (n, 3))[:, None, :]
         # dead rays (shot into empty space, kernel.cpp:372-375) keep their
         # state forever; parking their sweep rows far outside the scene
-        # with bound 0 lets the kernel cull every triangle block for them
-        bounce, stats = _hit(
-            jnp.where(state.alive[:, None], state.pos, _DEAD_ORIGIN),
-            state.dir,
-            jnp.where(state.alive, jnp.inf, 0.0),
-            stats,
-            [("bounce", 0, n)],
+        # with bound 0 lets the kernel cull every triangle block for them.
+        # Bounce 0 rides the caller's Morton direction sort (all origins
+        # coincide at the source), later bounces sort sweep-locally.
+        bounce, stats = _sorted_bounce_hit(
+            state.pos, state.dir, state.alive, stats, do_sort=index > 0
         )
         t_safe = jnp.where(bounce.hit, bounce.t, 0.0)
         alive_new = state.alive & bounce.hit
@@ -742,20 +751,18 @@ def _trace_impl(
         init_diff = ssrc - mic_reflection_new
         init_dist = jnp.linalg.norm(init_diff, axis=-1)
         image_vol.append(
-            _unsort(
-                jnp.where(
-                    img_ok[:, None],
-                    state.volume * _air_attenuation(init_dist),
-                    0.0,
-                )
+            jnp.where(
+                img_ok[:, None],
+                state.volume * _air_attenuation(init_dist),
+                0.0,
             )
         )
-        image_pos.append(_unsort(jnp.where(img_ok[:, None], smic + init_diff, 0.0)))
+        image_pos.append(jnp.where(img_ok[:, None], smic + init_diff, 0.0))
         image_time.append(
-            _unsort(jnp.where(img_ok, SECONDS_PER_METER * init_dist, 0.0))
+            jnp.where(img_ok, SECONDS_PER_METER * init_dist, 0.0)
         )
         image_idx.append(
-            _unsort(jnp.where(img_ok, bounce.index.astype(jnp.int32) + 1, 0))
+            jnp.where(img_ok, bounce.index.astype(jnp.int32) + 1, 0)
         )
 
         mic_reflection = mic_reflection_new
@@ -781,19 +788,9 @@ def _trace_impl(
 
         def step(carry, _):
             st, ax, st_acc = carry
-            if resort:
-                # consumed rows scatter into the histogram, so ray order
-                # inside the tail is free; keep the tiles coherent
-                key_b = _ray_sort_key(st.pos, st.dir, lo_b, inv_span)
-                perm_b = jnp.argsort(key_b)
-                st = _permute_state(st, perm_b)
             smic = st.mic if multi else mic
-            bounce, st_acc = _hit(
-                jnp.where(st.alive[:, None], st.pos, _DEAD_ORIGIN),
-                st.dir,
-                jnp.where(st.alive, jnp.inf, 0.0),
-                st_acc,
-                [("bounce", 0, n)],
+            bounce, st_acc = _sorted_bounce_hit(
+                st.pos, st.dir, st.alive, st_acc, do_sort=True
             )
             t_safe = jnp.where(bounce.hit, bounce.t, 0.0)
             intersection = st.pos + st.dir * t_safe[:, None]
