@@ -759,7 +759,8 @@ def _finalize_filter(
     # ones) must see exactly a content-length signal.
     #
     # filter_method='fft': each causal pass as a truncated FFT convolution
-    # with `responses` = (P, 8, nfft//2+1) complex64 frequency responses.
+    # with `responses` = (P, 8, nfft//2+1, 2) float32 (re, im) frequency
+    # responses (assembled to complex on device — see finalize_filter_params).
     # filter_method='scan': exact sequential biquads (the reference's own
     # arithmetic) with `responses` = (P, 8, 5) float32 coefficients —
     # preferred on backends where huge FFT programs are fragile; ~1 s/pass
@@ -776,8 +777,9 @@ def _finalize_filter(
 
         t = t + KERNEL_LENGTH - 1
         content_len = content_len + KERNEL_LENGTH - 1
+        resp = jax.lax.complex(responses[0, ..., 0], responses[0, ..., 1])
         spec_f = jnp.fft.rfft(out, n=nfft)
-        out = jnp.fft.irfft(spec_f * responses[0], n=nfft)[..., :t]
+        out = jnp.fft.irfft(spec_f * resp, n=nfft)[..., :t]
         out = out * (jnp.arange(t) < content_len)
     elif filter_method == "scan":
         from .filters import biquad_onepass
@@ -795,19 +797,24 @@ def _finalize_filter(
             )
             out = out * in_content
     else:
-        nflips = 0
-        flipped = False
-        for p, do_flip in enumerate(flips):
-            if do_flip:
-                out = jnp.flip(out, axis=-1)
-                nflips += 1
-                flipped = not flipped
+        # flip-free FFT passes: running a causal filter BACKWARD over the
+        # unflipped signal is correlation, i.e. conj(H) on the rFFT grid
+        # (real signals; the anti-causal tail decays inside the pad) —
+        # jnp.flip chains miscompile to zeros on the axon TPU backend
+        # (see the scan branch), so reversed passes ship their responses
+        # PRE-conjugated from finalize_filter_params and the signal keeps
+        # one fixed orientation (which also keeps the in_content mask
+        # trivial). `flips` is retained for the scan branch only.
+        for p in range(responses.shape[0]):
+            # responses arrive as float32 (re, im) pairs (complex64
+            # transfers are UNIMPLEMENTED on the axon backend); the
+            # complex value is assembled on device
+            resp = jax.lax.complex(
+                responses[p, ..., 0], responses[p, ..., 1]
+            )
             spec_f = jnp.fft.rfft(out, n=nfft)
-            out = jnp.fft.irfft(spec_f * responses[p], n=nfft)[..., :t]
-            cut = jnp.flip(in_content) if flipped else in_content
-            out = out * cut
-        if nflips % 2:
-            out = jnp.flip(out, axis=-1)
+            out = jnp.fft.irfft(spec_f * resp, n=nfft)[..., :t]
+            out = out * in_content
     mixed = jnp.sum(out, axis=-2)  # (C, L)
 
     if do_normalize:
@@ -830,11 +837,14 @@ def finalize_filter_params(
 ):
     """Host-side parameters for _finalize's filter section.
 
-    method None resolves to 'scan' on TPU backends (robust, exact
-    reference arithmetic) and 'fft' elsewhere (faster on CPU);
-    RAYVERB_FINALIZE_FILTER overrides. The windowed-sinc FIR bank always
-    uses 'fir' (one FFT convolution per band — there is no IIR form).
-    Returns (params, flips, nfft, method)."""
+    method None resolves to 'fft' (flip-free truncated-FFT passes — the
+    O(T)-sequential biquad scans cost ~0.12 s/pass at 131k samples on the
+    TPU, ~50x the FFT's cost; the 'fir' sinc path has exercised same-size
+    TPU FFTs across the whole demo corpus). RAYVERB_FINALIZE_FILTER=scan
+    selects the reference's exact sequential arithmetic instead (they
+    agree to ~1e-6 of peak — both bounded by the float64 oracle gate).
+    The windowed-sinc FIR bank always uses 'fir' (one FFT convolution per
+    band — there is no IIR form). Returns (params, flips, nfft, method)."""
     if filter_type == FilterType.WINDOWED_SINC:
         from .filters import KERNEL_LENGTH, band_edges, bandpass_sinc_kernel
 
@@ -846,16 +856,15 @@ def finalize_filter_params(
                 for i in range(NUM_BANDS)
             ]
         )
+        kspec = np.fft.rfft(kernels.astype(np.float64), n=nfft)[None]
+        # float32 (re, im) pairs — complex transfers are UNIMPLEMENTED on
+        # the axon backend (same convention as the 'fft' branch)
         params = jnp.asarray(
-            np.fft.rfft(kernels.astype(np.float64), n=nfft).astype(
-                np.complex64
-            )[None]
+            np.stack([kspec.real, kspec.imag], axis=-1).astype(np.float32)
         )
         return params, (False,), nfft, "fir"
     if method is None:
-        method = os.environ.get("RAYVERB_FINALIZE_FILTER") or (
-            "scan" if jax.default_backend() == "tpu" else "fft"
-        )
+        method = os.environ.get("RAYVERB_FINALIZE_FILTER", "fft")
     passes = _band_coeffs(filter_type, sample_rate, lo_cutoff)
     flips = tuple(bool(f) for _, f in passes)
     if method == "scan":
@@ -865,17 +874,30 @@ def finalize_filter_params(
         nfft = 0
     else:
         nfft = _fft_len(length)
+        # reversed passes are conjugated HERE (host-side numpy): the
+        # device program then contains no conj op (the axon backend
+        # rejects it as UNIMPLEMENTED) and matches the op profile of the
+        # corpus-proven 'fir' path. Orientation is the cumulative parity
+        # of the reference's reversals, as in _finalize_filter's
+        # scan branch.
+        resp_list = []
+        orientation = False
+        for coeffs, do_flip in passes:
+            orientation ^= do_flip
+            r = np.stack(
+                [_biquad_response(cf, nfft) for cf in coeffs]
+            )
+            if orientation:
+                r = np.conj(r)
+            resp_list.append(r)
+        # responses ship as float32 (re, im) pairs: complex64 host->device
+        # transfers hit UNIMPLEMENTED on the axon backend (complex
+        # arithmetic INSIDE programs is fine — lax.complex reassembles on
+        # device, see _finalize_filter)
+        stacked = np.stack(resp_list)
         params = jnp.asarray(
-            np.stack(
-                [
-                    np.stack(
-                        [
-                            _biquad_response(cf, nfft).astype(np.complex64)
-                            for cf in coeffs
-                        ]
-                    )
-                    for coeffs, _ in passes
-                ]
+            np.stack([stacked.real, stacked.imag], axis=-1).astype(
+                np.float32
             )
         )
     return params, flips, nfft, method
