@@ -135,6 +135,7 @@ def _kernel(
     order_ref,
     live_ref,
     aabb_ref,
+    super_ref,
     rays_ref,
     tmax_ref,
     decide_ref,
@@ -180,18 +181,22 @@ def _kernel(
 
     live = live_ref[rb] > 0
 
-    # ray components: (1, RB) rows
+    # ray components: (1, RB) rows; inverse direction components are
+    # precomputed host-side (rows 6:9) so no step pays the VPU divides
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
     oz = rays_ref[2:3, :]
     dx = rays_ref[3:4, :]
     dy = rays_ref[4:5, :]
     dz = rays_ref[5:6, :]
+    ivx = rays_ref[6:7, :]
+    ivy = rays_ref[7:8, :]
+    ivz = rays_ref[8:9, :]
 
-    def slab_axis(o, dv, lo, hi):
-        # lo/hi are (TRI_SUBS, 1) columns; o/dv are (1, RB) rows — the
-        # whole step's sub-AABB tests happen as (TRI_SUBS, RB) vector ops
-        iv = 1.0 / dv  # +-inf on zero components; the select keeps it exact
+    def slab_axis(o, dv, iv, lo, hi):
+        # lo/hi are (k, 1) columns; o/dv/iv are (1, RB) rows — a step's
+        # sub-AABB tests happen as (k, RB) vector ops (iv carries +-inf on
+        # zero components; the select keeps those exact)
         near = (lo - o) * iv
         far = (hi - o) * iv
         tn = jnp.minimum(near, far)
@@ -202,12 +207,6 @@ def _kernel(
         tf = jnp.where(zero, jnp.where(inside, jnp.inf, -jnp.inf), tf)
         return tn, tf
 
-    ab = aabb_ref[pl.ds(ob * subs, subs), :]  # (subs, 8)
-    tnx, tfx = slab_axis(ox, dx, ab[:, 0:1], ab[:, 3:4])
-    tny, tfy = slab_axis(oy, dy, ab[:, 1:2], ab[:, 4:5])
-    tnz, tfz = slab_axis(oz, dz, ab[:, 2:3], ab[:, 5:6])
-    tn = jnp.maximum(jnp.maximum(tnx, tny), tnz)
-    tf = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
     # a triangle hit t lies within [tn, tf]; only blocks that could beat
     # the running best (ties included — a tie may resolve to a lower
     # original index) and clear the t > EPSILON gate matter. best_t is
@@ -218,12 +217,26 @@ def _kernel(
     # ("blocker before the target") is locked — the row stops pulling
     # blocks in. Rows with decide 0 (closest-hit semantics) never lock.
     undecided = best_t_ref[...] >= decide_ref[...]  # (1, RB)
-    possible = (
+
+    # hierarchical gate: ONE (1, RB) slab test against the step's SUPER
+    # AABB (the union of its TRI_SUBS sub-blocks) decides whether the
+    # (subs, RB) sub-AABB slab math runs at all. ~75% of steps cull
+    # everything (measured on the hall), so the super test turns the
+    # dominant per-step fixed cost from subs x RB ops into RB ops. The
+    # sub tests are subsets of the super test (interval containment), so
+    # results and executed-pair counters are bit-identical.
+    sab = super_ref[pl.ds(ob, 1), :]  # (1, 8)
+    tnsx, tfsx = slab_axis(ox, dx, ivx, sab[:, 0:1], sab[:, 3:4])
+    tnsy, tfsy = slab_axis(oy, dy, ivy, sab[:, 1:2], sab[:, 4:5])
+    tnsz, tfsz = slab_axis(oz, dz, ivz, sab[:, 2:3], sab[:, 5:6])
+    tns = jnp.maximum(jnp.maximum(tnsx, tnsy), tnsz)
+    tfs = jnp.minimum(jnp.minimum(tfsx, tfsy), tfsz)
+    sup = (
         live
-        & (tf >= jnp.maximum(tn, EPSILON))
-        & (tn <= best_t_ref[...])
+        & (tfs >= jnp.maximum(tns, EPSILON))
+        & (tns <= best_t_ref[...])
         & undecided
-    )  # (TRI_SUBS, RB)
+    )  # (1, RB)
 
     # the sub-block/lane-chunk regions nest under one per-STEP region:
     # fully-culled steps (the majority — dead tiles and resolved
@@ -231,8 +244,20 @@ def _kernel(
     # region-entry cost is ~0.1-0.2 us (the LANE_GATE=128 experiment:
     # 4x regions cost ~2 s on the 64k probe), so collapsing ~75% of the
     # ~1M regions per 1M-row sweep is seconds at north-star scale.
-    @pl.when(jnp.any(possible))
+    @pl.when(jnp.any(sup))
     def _step():
+        ab = aabb_ref[pl.ds(ob * subs, subs), :]  # (subs, 8)
+        tnx, tfx = slab_axis(ox, dx, ivx, ab[:, 0:1], ab[:, 3:4])
+        tny, tfy = slab_axis(oy, dy, ivy, ab[:, 1:2], ab[:, 4:5])
+        tnz, tfz = slab_axis(oz, dz, ivz, ab[:, 2:3], ab[:, 5:6])
+        tn = jnp.maximum(jnp.maximum(tnx, tny), tnz)
+        tf = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
+        possible = (
+            live
+            & (tf >= jnp.maximum(tn, EPSILON))
+            & (tn <= best_t_ref[...])
+            & undecided
+        )  # (TRI_SUBS, RB)
         for j in range(subs):
             sub = slice(j * TRI_BLOCK, (j + 1) * TRI_BLOCK)
             for c in range(RAY_BLOCK // LANE_GATE):
@@ -352,6 +377,7 @@ def _closest_hit_padded(
     decide_row,
     tris,
     aabbs,
+    super_aabbs,
     order,
     live,
     *,
@@ -360,14 +386,15 @@ def _closest_hit_padded(
     og: int = _OG,
     subs: int = TRI_SUBS,
 ):
-    """rays_t: (8, Mp) f32; tmax_row: (1, Mp) f32 per-ray initial bound;
-    tris: (Tp, 16) f32 Morton-packed; aabbs: (Tp/TRI_BLOCK, 8); order:
-    (Tp/(TRI_BLOCK*subs), Mp/(og*RAY_BLOCK)) i32 per-ray-group super-step
-    traversal order (steps-major so SMEM lane padding rides the groups
-    axis); live: (Mp/RAY_BLOCK,) i32 per-ray-tile any-positive-bound
-    flags; og: ray tiles per order group (static); subs: TRI_BLOCK
-    sub-blocks per grid step (static, <= the scene's block count).
-    Returns ((1, Mp) t, (1, Mp) original idx, -1 = miss)."""
+    """rays_t: (16, Mp) f32 [o, d, 1/d, pad]; tmax_row: (1, Mp) f32
+    per-ray initial bound; tris: (Tp, 16) f32 Morton-packed; aabbs:
+    (Tp/TRI_BLOCK, 8); super_aabbs: (Tp/(TRI_BLOCK*subs), 8) per-grid-step
+    union AABBs; order: (Tp/(TRI_BLOCK*subs), Mp/(og*RAY_BLOCK)) i32
+    per-ray-group super-step traversal order (steps-major so SMEM lane
+    padding rides the groups axis); live: (Mp/RAY_BLOCK,) i32 per-ray-tile
+    any-positive-bound flags; og: ray tiles per order group (static);
+    subs: TRI_BLOCK sub-blocks per grid step (static, <= the scene's
+    block count). Returns ((1, Mp) t, (1, Mp) original idx, -1 = miss)."""
     mp = rays_t.shape[1]
     tp = tris.shape[0]
     tri_step = TRI_BLOCK * subs
@@ -385,7 +412,12 @@ def _closest_hit_padded(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (8, RAY_BLOCK),
+                super_aabbs.shape,
+                lambda r, t, order, live: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (16, RAY_BLOCK),
                 lambda r, t, order, live: (0, r),
                 memory_space=pltpu.VMEM,
             ),
@@ -435,7 +467,7 @@ def _closest_hit_padded(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(order, live, aabbs, rays_t, tmax_row, decide_row, tris)
+    )(order, live, aabbs, super_aabbs, rays_t, tmax_row, decide_row, tris)
 
 
 def _block_padded(soup):
@@ -503,11 +535,17 @@ def closest_hit_pallas(
     # tiles evenly over RAY_BLOCK-lane cull tiles
     mp = _round_up(max(m, og_rays), og_rays)
     ngroups = mp // og_rays
+    dirs_t = jnp.asarray(dirs, jnp.float32).T
     rays_t = jnp.concatenate(
         [
             jnp.asarray(origins, jnp.float32).T,
-            jnp.asarray(dirs, jnp.float32).T,
-            jnp.zeros((2, m), jnp.float32),
+            dirs_t,
+            # inverse directions precomputed once per sweep (the kernel's
+            # slab tests would otherwise pay 3 VPU divides per grid step);
+            # +-inf on zero components, exactly like the old in-kernel
+            # 1/dv — the zero-component select keeps those rows exact
+            1.0 / dirs_t,
+            jnp.zeros((7, m), jnp.float32),
         ],
         axis=0,
     )
@@ -521,7 +559,7 @@ def closest_hit_pallas(
         decide_row = jnp.asarray(t_decide, jnp.float32).reshape(1, m)
     if mp != m:
         rays_t = jnp.concatenate(
-            [rays_t, jnp.zeros((8, mp - m), jnp.float32)], axis=1
+            [rays_t, jnp.zeros((16, mp - m), jnp.float32)], axis=1
         )
         # padded rays get bound 0: they skip every block outright
         tmax_row = jnp.concatenate(
@@ -580,12 +618,28 @@ def closest_hit_pallas(
         .any(axis=1)
         .astype(jnp.int32)
     )
+    # per-grid-step SUPER AABBs: the union of each step's TRI_SUBS
+    # sub-block boxes, excluding empty padding blocks (whose lo = hi =
+    # +1e30 would otherwise blow the union open). All-empty steps get an
+    # inverted box that fails every slab test.
+    big = np.float32(1e30)
+    ab3 = aabbs.reshape(-1, subs, 8)
+    ab_empty = ab3[:, :, 0:1] >= big
+    super_aabbs = jnp.concatenate(
+        [
+            ab3[:, :, 0:3].min(axis=1),
+            jnp.where(ab_empty, -big, ab3[:, :, 3:6]).max(axis=1),
+            jnp.zeros((ab3.shape[0], 2), jnp.float32),
+        ],
+        axis=-1,
+    )
     outs = _closest_hit_padded(
         rays_t,
         tmax_row,
         decide_row,
         tris,
         aabbs,
+        super_aabbs,
         order,
         live,
         interpret=interpret,

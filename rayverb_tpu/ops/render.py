@@ -239,6 +239,152 @@ def _attenuate_and_bin(
     return jnp.stack(hists), min_t, max_t
 
 
+# Histogram binning strategy for the fused trace's diffuse rows:
+#   sorted  — collect every bounce's rows into dense (R, n) buffers (one
+#             contiguous dynamic-update-slice per bounce) and bin them all
+#             at once post-trace WITHOUT a scatter: sort rows by bin,
+#             segmented suffix-sum over equal-bin runs, then build the
+#             dense histogram by searchsorted + gather. XLA's TPU
+#             scatter-add serialises per update row (~105 ns/row measured
+#             on the 64k probe), which at north-star scale is ~3.5 s of
+#             the render; the sort pipeline is bandwidth-bound instead.
+#   scatter — the r3/r4 path: per-bounce fused attenuate + scatter-add
+#             into the carried histogram (kept for A/B and as the
+#             reference semantics anchor; bit-order of within-bin f32
+#             sums differs between the two, results agree to scatter-
+#             order noise).
+_BIN_MODE = os.environ.get("RAYVERB_BIN", "sorted")
+
+
+def _segmented_run_totals(sorted_keys, sorted_vals):
+    """Inclusive segmented SUFFIX sums over equal-key runs of an
+    ascending-sorted key array: afterwards, row i holds the sum of vals
+    over rows i..end-of-run, so the FIRST row of each run holds the run
+    total. Hillis–Steele with a same-key carry mask — ceil(log2(m))
+    vectorized passes, no scatter, no cross-run cancellation (each run's
+    total is a balanced pairwise tree like the scatter path's adds)."""
+    m = sorted_keys.shape[0]
+    d = 1
+    while d < m:
+        same = sorted_keys == jnp.concatenate(
+            [sorted_keys[d:], jnp.full((d,), -1, sorted_keys.dtype)]
+        )
+        shifted = jnp.concatenate(
+            [sorted_vals[d:], jnp.zeros((d,) + sorted_vals.shape[1:],
+                                        sorted_vals.dtype)]
+        )
+        sorted_vals = sorted_vals + jnp.where(same[:, None], shifted, 0.0)
+        d *= 2
+    return sorted_vals
+
+
+def _dense_from_runs(sorted_keys, run_totals, length: int):
+    """(8, length) dense histogram from run-start totals: bin j's value
+    sits at searchsorted(sorted_keys, j) when that row's key is j (runs
+    start at their leftmost row), else the bin is empty. Keys >= length
+    (the drop sentinel) live past every query, matching the scatter
+    path's mode='drop'."""
+    j = jnp.arange(length, dtype=sorted_keys.dtype)
+    pos = jnp.searchsorted(sorted_keys, j, side="left")
+    posc = jnp.minimum(pos, sorted_keys.shape[0] - 1)
+    found = (pos < sorted_keys.shape[0]) & (sorted_keys[posc] == j)
+    return jnp.where(found[:, None], run_totals[posc], 0.0).T
+
+
+def _bin_rows_sorted(
+    mic, volumes, positions, times, spec: AttenSpec, length: int,
+    sample_rate, init_hist=None,
+):
+    """Batched scatter-free equivalent of _attenuate_and_bin over the
+    whole trace's diffuse rows at once (volumes (M, 8), positions (M, 3),
+    times (M,)). Returns ((C, 8, length) histogram, min post-attenuation
+    time, max post-attenuation time) with identical row-admission rules
+    (zero-volume rows contribute nothing; out-of-range bins drop);
+    within-bin f32 sums run in a different (tree) order, so histograms
+    match the scatter path to float rounding."""
+    nonzero = jnp.any(volumes != 0, axis=-1)
+    basis = None
+    if spec.is_hrtf:
+        from .attenuate import head_basis
+
+        basis = head_basis(spec.facing, spec.up)
+
+    sentinel = jnp.int32(length)
+
+    def _key_for(t_c):
+        idx = jnp.floor(t_c * sample_rate + 0.5).astype(jnp.int32)
+        return jnp.where(nonzero & (idx >= 0) & (idx < length), idx, sentinel)
+
+    hists = []
+    min_t = jnp.float32(jnp.inf)
+    max_t = jnp.float32(0.0)
+    if spec.is_hrtf:
+        # ITD shifts make bins channel-specific: one sort per ear
+        for c in range(spec.nchannels):
+            gains, t_c = _hrtf_channel(
+                mic, positions, times, spec.table, basis, c
+            )
+            min_t = jnp.minimum(
+                min_t, jnp.min(jnp.where(nonzero & (t_c > 0), t_c, jnp.inf))
+            )
+            max_t = jnp.maximum(max_t, jnp.max(jnp.where(nonzero, t_c, 0.0)))
+            key = _key_for(t_c)
+            perm = jnp.argsort(key)
+            sk = key[perm]
+            sv = (volumes * gains)[perm]
+            hists.append(
+                _dense_from_runs(sk, _segmented_run_totals(sk, sv), length)
+            )
+    else:
+        # speaker times carry no per-channel shift: one shared sort, the
+        # per-channel gains ride the same permutation
+        min_t = jnp.min(jnp.where(nonzero & (times > 0), times, jnp.inf))
+        max_t = jnp.max(jnp.where(nonzero, times, 0.0))
+        key = _key_for(times)
+        perm = jnp.argsort(key)
+        sk = key[perm]
+        svol = volumes[perm]
+        spos = positions[perm]
+        for c in range(spec.nchannels):
+            gain = _speaker_gain(
+                mic, spos, spec.speaker_dirs[c], spec.speaker_coeffs[c]
+            )
+            hists.append(
+                _dense_from_runs(
+                    sk,
+                    _segmented_run_totals(sk, svol * gain[:, None]),
+                    length,
+                )
+            )
+    hist = jnp.stack(hists)
+    if init_hist is not None:
+        hist = init_hist + hist
+    return hist, min_t, max_t
+
+
+def _row_buffers(nreflections: int, n: int):
+    """Per-bounce row collection buffers for the sorted-binning consume
+    path: (R, n, 8) volumes, (R, n, 3) positions, (R, n) times, bounce
+    counter."""
+    return (
+        jnp.zeros((nreflections, n, NUM_BANDS), jnp.float32),
+        jnp.zeros((nreflections, n, 3), jnp.float32),
+        jnp.zeros((nreflections, n), jnp.float32),
+        jnp.int32(0),
+    )
+
+
+def _collect_row(bufs, row):
+    bv, bp, bt, b = bufs
+    vol, pos, tim = row
+    return (
+        jax.lax.dynamic_update_index_in_dim(bv, vol, b, 0),
+        jax.lax.dynamic_update_index_in_dim(bp, pos, b, 0),
+        jax.lax.dynamic_update_index_in_dim(bt, tim, b, 0),
+        b + 1,
+    )
+
+
 class ChunkOut(NamedTuple):
     hist: jax.Array          # (C, 8, L) diffuse contribution
     img_volume: jax.Array    # (N, S, 8)
@@ -289,26 +435,33 @@ def _chunk_core(
     source = jnp.asarray(source, jnp.float32)
     n = directions.shape[0]
 
-    def consume(aux, row):
-        hist, mx, mn = aux
-        vol, pos, tim = row
-        if include_diffuse:
-            hist, row_mn, row_mx = _attenuate_and_bin(
-                mic, vol, pos, tim, spec, length, sample_rate,
-                predelay=None, init_hist=hist,
-            )
-            mx = jnp.maximum(mx, row_mx)
-            mn = jnp.minimum(mn, row_mn)
-        # with include_diffuse False the diffuse population is outside the
-        # output set and does not participate in predelay
-        return hist, mx, mn
+    sorted_bin = include_diffuse and _BIN_MODE != "scatter"
+    if sorted_bin:
+        consume = _collect_row
+        aux0 = _row_buffers(nreflections, n)
+    else:
+
+        def consume(aux, row):
+            hist, mx, mn = aux
+            vol, pos, tim = row
+            if include_diffuse:
+                hist, row_mn, row_mx = _attenuate_and_bin(
+                    mic, vol, pos, tim, spec, length, sample_rate,
+                    predelay=None, init_hist=hist,
+                )
+                mx = jnp.maximum(mx, row_mx)
+                mn = jnp.minimum(mn, row_mn)
+            # with include_diffuse False the diffuse population is outside
+            # the output set and does not participate in predelay
+            return hist, mx, mn
 
     hist0 = (
         jnp.zeros((spec.nchannels, NUM_BANDS, length), jnp.float32)
         if init_hist is None
         else init_hist
     )
-    aux0 = (hist0, jnp.float32(0.0), jnp.float32(jnp.inf))
+    if not sorted_bin:
+        aux0 = (hist0, jnp.float32(0.0), jnp.float32(jnp.inf))
     out = _trace_impl(
         soup,
         mic,
@@ -323,8 +476,22 @@ def _chunk_core(
         sweep_stats=sweep_stats,
         seg_budget_rows=seg_budget_rows,
     )
-    (hist, max_t, min_t), images, overflow = out[0], out[1], out[2]
+    aux_out, images, overflow = out[0], out[1], out[2]
     tstats = out[3] if sweep_stats else None
+    if sorted_bin:
+        bv, bp, bt, _ = aux_out
+        hist, min_t, max_t = _bin_rows_sorted(
+            mic,
+            bv.reshape(-1, NUM_BANDS),
+            bp.reshape(-1, 3),
+            bt.reshape(-1),
+            spec,
+            length,
+            sample_rate,
+            init_hist=hist0,
+        )
+    else:
+        hist, max_t, min_t = aux_out
     img_vol, img_pos, img_time, img_idx = images
 
     h1, h2 = chain_hashes(img_idx)
@@ -396,28 +563,34 @@ def _fused_trace_bin(
     n = directions.shape[0]
     ray_ok = jnp.arange(n) < nvalid
 
-    def consume(aux, row):
-        hist, mx, mn = aux
-        vol, pos, tim = row
-        # padding rays were silenced at trace start (nvalid volume zeroing),
-        # so rows need no per-ray masking here — which is what lets the
-        # trace re-sort rays freely between bounces
-        if include_diffuse:
-            # time stats use the *attenuated* (ITD-shifted) times, matching
-            # findPredelay over AttenuatedImpulse (rayverb.h:49-73)
-            hist, row_mn, row_mx = _attenuate_and_bin(
-                mic32, vol, pos, tim, spec, length, sample_rate,
-                predelay=None, init_hist=hist,
-            )
-            mx = jnp.maximum(mx, row_mx)
-            mn = jnp.minimum(mn, row_mn)
-        return hist, mx, mn
+    sorted_bin = include_diffuse and _BIN_MODE != "scatter"
+    if sorted_bin:
+        # padding rays were silenced at trace start (nvalid volume
+        # zeroing), so rows need no per-ray masking — which is what lets
+        # the trace re-sort rays freely between bounces. Time stats use
+        # the *attenuated* (ITD-shifted) times, matching findPredelay
+        # over AttenuatedImpulse (rayverb.h:49-73).
+        consume = _collect_row
+        aux0 = _row_buffers(nreflections, n)
+    else:
 
-    aux0 = (
-        jnp.zeros((nchannels, NUM_BANDS, length), jnp.float32),
-        jnp.float32(0.0),
-        jnp.float32(jnp.inf),
-    )
+        def consume(aux, row):
+            hist, mx, mn = aux
+            vol, pos, tim = row
+            if include_diffuse:
+                hist, row_mn, row_mx = _attenuate_and_bin(
+                    mic32, vol, pos, tim, spec, length, sample_rate,
+                    predelay=None, init_hist=hist,
+                )
+                mx = jnp.maximum(mx, row_mx)
+                mn = jnp.minimum(mn, row_mn)
+            return hist, mx, mn
+
+        aux0 = (
+            jnp.zeros((nchannels, NUM_BANDS, length), jnp.float32),
+            jnp.float32(0.0),
+            jnp.float32(jnp.inf),
+        )
     out = _trace_impl(
         soup,
         mic,
@@ -432,8 +605,21 @@ def _fused_trace_bin(
         sweep_stats=sweep_stats,
         seg_budget_rows=seg_budget_rows,
     )
-    (hist, max_t, min_t), images, overflow = out[0], out[1], out[2]
+    aux_out, images, overflow = out[0], out[1], out[2]
     trace_stats = out[3] if sweep_stats else None
+    if sorted_bin:
+        bv, bp, bt, _ = aux_out
+        hist, min_t, max_t = _bin_rows_sorted(
+            mic32,
+            bv.reshape(-1, NUM_BANDS),
+            bp.reshape(-1, 3),
+            bt.reshape(-1),
+            spec,
+            length,
+            sample_rate,
+        )
+    else:
+        hist, max_t, min_t = aux_out
     img_vol, img_pos, img_time, img_idx = images
     h1, h2 = chain_hashes(img_idx)
     slots = jnp.broadcast_to(

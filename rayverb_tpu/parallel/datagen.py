@@ -38,9 +38,14 @@ from ..config.schema import RenderConfig
 from ..constants import NUM_BANDS, NUM_IMAGE_SOURCE
 from ..ops.render import (
     AttenSpec,
+    _BIN_MODE,
+    _collect_row,
+    _dense_from_runs,
     _finalize_filter,
     _hrtf_channel,
     _mix32,
+    _row_buffers,
+    _segmented_run_totals,
     _speaker_gain,
     chain_hashes,
     finalize_filter_params,
@@ -96,6 +101,58 @@ def _attenuate_and_bin_multi(
     return hist
 
 
+def _bin_rows_sorted_multi(
+    mic_rows, pair_rows, volumes, positions, times, spec: AttenSpec,
+    length: int, sample_rate, nbatch: int, init_hist=None,
+):
+    """Scatter-free per-pair binning: rows sort by the flattened
+    (pair * length + bin) key, so one segmented suffix-sum + searchsorted
+    pass builds the whole (B, C, 8, length) bank densely — the multi-pair
+    analogue of ops.render._bin_rows_sorted (XLA's TPU scatter serialises
+    per update row, which dominates the per-bounce consume graph)."""
+    nonzero = jnp.any(volumes != 0, axis=-1)
+    basis = None
+    if spec.is_hrtf:
+        from ..ops.attenuate import head_basis
+
+        basis = head_basis(spec.facing, spec.up)
+
+    flat_len = nbatch * length
+    sentinel = jnp.int32(flat_len)
+
+    def _key_for(t_c):
+        idx = jnp.floor(t_c * sample_rate + 0.5).astype(jnp.int32)
+        ok = nonzero & (idx >= 0) & (idx < length)
+        return jnp.where(ok, pair_rows * np.int32(length) + idx, sentinel)
+
+    chans = []
+    for c in range(spec.nchannels):
+        if spec.is_hrtf:
+            gains, t_c = _hrtf_channel(
+                mic_rows, positions, times, spec.table, basis, c
+            )
+            vol_c = volumes * gains
+        else:
+            gain = _speaker_gain(
+                mic_rows, positions, spec.speaker_dirs[c],
+                spec.speaker_coeffs[c],
+            )
+            vol_c = volumes * gain[:, None]
+            t_c = times
+        key = _key_for(t_c)
+        perm = jnp.argsort(key)
+        sk = key[perm]
+        sv = vol_c[perm]
+        dense = _dense_from_runs(
+            sk, _segmented_run_totals(sk, sv), flat_len
+        )  # (8, B*length)
+        chans.append(dense.reshape(NUM_BANDS, nbatch, length))
+    hist = jnp.stack(chans, axis=0).transpose(2, 0, 1, 3)  # (B, C, 8, L)
+    if init_hist is not None:
+        hist = init_hist + hist
+    return hist
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -131,18 +188,31 @@ def _batched_trace_bin(
     spec = AttenSpec(is_hrtf, nchannels, *spec_arrays)
     m = dirs_flat.shape[0]
 
-    def consume(hist, row):
-        vol, pos, tim, mic_rows, pair_rows = row
-        return _attenuate_and_bin_multi(
-            mic_rows, pair_rows, vol, pos, tim, spec, length, sample_rate,
-            init_hist=hist,
-        )
+    # int32 flattened (pair * length + bin) keys gate the sorted path
+    sorted_bin = _BIN_MODE != "scatter" and nbatch * length < (1 << 31)
+    if sorted_bin:
 
-    hist0 = jnp.zeros((nbatch, nchannels, NUM_BANDS, length), jnp.float32)
+        def consume(bufs, row):
+            vol, pos, tim, _mic_rows, _pair_rows = row
+            return _collect_row(bufs, (vol, pos, tim))
+
+        aux0 = _row_buffers(nreflections, m)
+    else:
+
+        def consume(hist, row):
+            vol, pos, tim, mic_rows, pair_rows = row
+            return _attenuate_and_bin_multi(
+                mic_rows, pair_rows, vol, pos, tim, spec, length,
+                sample_rate, init_hist=hist,
+            )
+
+        aux0 = jnp.zeros(
+            (nbatch, nchannels, NUM_BANDS, length), jnp.float32
+        )
     # resort on whenever the scene has enough blocks for the AABB cull to
     # matter (same policy as render_fused)
     resort = bool(m >= 4096 and soup.block_aabb.shape[0] >= 32)
-    hist, images, _overflow = _trace_impl(
+    aux_out, images, _overflow = _trace_impl(
         soup,
         mics,
         sources,
@@ -150,11 +220,28 @@ def _batched_trace_bin(
         nreflections=nreflections,
         impl=impl,
         consume_row=consume,
-        aux0=hist0,
+        aux0=aux0,
         nvalid=nvalid,
         resort=resort,
         pair_id=pair_id,
     )
+    if sorted_bin:
+        bv, bp, bt, _ = aux_out
+        r = bv.shape[0]
+        pair_flat = jnp.broadcast_to(pair_id[None, :], (r, m)).reshape(-1)
+        hist = _bin_rows_sorted_multi(
+            mics[pair_flat],
+            pair_flat,
+            bv.reshape(-1, NUM_BANDS),
+            bp.reshape(-1, 3),
+            bt.reshape(-1),
+            spec,
+            length,
+            sample_rate,
+            nbatch,
+        )
+    else:
+        hist = aux_out
     img_vol, img_pos, img_time, img_idx = images
 
     h1, h2 = chain_hashes(img_idx)
