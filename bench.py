@@ -67,6 +67,13 @@ def _north_star_config():
     )
 
 
+# Steady-state passes per workload; the best wall is reported. The
+# tunneled backend occasionally degrades 5-60x on unchanged cached
+# programs for stretches (docs/perf.md measurement-hygiene note), so a
+# single timed pass can report noise; min-of-N is the standard hedge.
+STEADY_RUNS = int(os.environ.get("RAYVERB_BENCH_RUNS", "2"))
+
+
 def run(cfg, scene, ray_chunk, seed=1234, stats=False):
     from rayverb_tpu.ops.render import render_fused
     from rayverb_tpu.utils.directions import random_directions
@@ -76,11 +83,13 @@ def run(cfg, scene, ray_chunk, seed=1234, stats=False):
     # warm-up: compiles the fused chunk + finalize programs
     render_fused(scene, cfg, dirs, ray_chunk=ray_chunk, stats=stats)
 
-    t0 = time.perf_counter()
-    channels, info = render_fused(
-        scene, cfg, dirs, ray_chunk=ray_chunk, stats=stats
-    )
-    wall = time.perf_counter() - t0
+    wall = float("inf")
+    for _ in range(STEADY_RUNS):
+        t0 = time.perf_counter()
+        channels, info = render_fused(
+            scene, cfg, dirs, ray_chunk=ray_chunk, stats=stats
+        )
+        wall = min(wall, time.perf_counter() - t0)
     assert channels.size > 0
     return cfg.rays * cfg.reflections, wall, info
 
@@ -125,10 +134,13 @@ def _bench_datagen(scene, pairs=64, rays=4096, reflections=16):
     )
     irs, _ = render_irs_batched(scene, cfg, sources, mics, dirs)  # compile
     np.asarray(irs)
-    t0 = time.perf_counter()
-    irs, _ = render_irs_batched(scene, cfg, sources, mics, dirs)
-    np.asarray(irs)
-    return pairs / (time.perf_counter() - t0)
+    wall = float("inf")
+    for _ in range(STEADY_RUNS):
+        t0 = time.perf_counter()
+        irs, _ = render_irs_batched(scene, cfg, sources, mics, dirs)
+        np.asarray(irs)
+        wall = min(wall, time.perf_counter() - t0)
+    return pairs / wall
 
 
 def main():
