@@ -146,6 +146,8 @@ def _kernel(
     *,
     og=_OG,
     subs=TRI_SUBS,
+    rblk=RAY_BLOCK,
+    lgate=LANE_GATE,
 ):
     # order_ref (n super steps, ray groups) and live_ref (ray tiles,) are
     # scalar-prefetched (SMEM-resident). order_ref holds a PER-RAY-TILE
@@ -260,8 +262,8 @@ def _kernel(
         )  # (TRI_SUBS, RB)
         for j in range(subs):
             sub = slice(j * TRI_BLOCK, (j + 1) * TRI_BLOCK)
-            for c in range(RAY_BLOCK // LANE_GATE):
-                lanes = slice(c * LANE_GATE, (c + 1) * LANE_GATE)
+            for c in range(rblk // lgate):
+                lanes = slice(c * lgate, (c + 1) * lgate)
 
                 @pl.when(jnp.any(possible[j, lanes]))
                 def _mt(sub=sub, lanes=lanes):
@@ -369,7 +371,10 @@ def _order_group_rays(m: int, nsteps: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "with_stats", "og", "subs")
+    jax.jit,
+    static_argnames=(
+        "interpret", "with_stats", "og", "subs", "ray_block", "lane_gate",
+    ),
 )
 def _closest_hit_padded(
     rays_t,
@@ -385,6 +390,8 @@ def _closest_hit_padded(
     with_stats: bool = False,
     og: int = _OG,
     subs: int = TRI_SUBS,
+    ray_block: int = RAY_BLOCK,
+    lane_gate: int = LANE_GATE,
 ):
     """rays_t: (16, Mp) f32 [o, d, 1/d, pad]; tmax_row: (1, Mp) f32
     per-ray initial bound; tris: (Tp, 16) f32 Morton-packed; aabbs:
@@ -398,7 +405,7 @@ def _closest_hit_padded(
     mp = rays_t.shape[1]
     tp = tris.shape[0]
     tri_step = TRI_BLOCK * subs
-    grid = (mp // RAY_BLOCK, tp // tri_step)
+    grid = (mp // ray_block, tp // tri_step)
     flops_per_pair = 40
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # super-step traversal order + tile flags
@@ -417,17 +424,17 @@ def _closest_hit_padded(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (16, RAY_BLOCK),
+                (16, ray_block),
                 lambda r, t, order, live: (0, r),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, RAY_BLOCK),
+                (1, ray_block),
                 lambda r, t, order, live: (0, r),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, RAY_BLOCK),
+                (1, ray_block),
                 lambda r, t, order, live: (0, r),
                 memory_space=pltpu.VMEM,
             ),
@@ -444,7 +451,7 @@ def _closest_hit_padded(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, RAY_BLOCK),
+                (1, ray_block),
                 lambda r, t, order, live: (0, r),
                 memory_space=pltpu.VMEM,
             ),
@@ -458,7 +465,9 @@ def _closest_hit_padded(
     if with_stats:
         out_shape.append(jax.ShapeDtypeStruct((1, mp), jnp.int32))
     return pl.pallas_call(
-        functools.partial(_kernel, og=og, subs=subs),
+        functools.partial(
+            _kernel, og=og, subs=subs, rblk=ray_block, lgate=lane_gate
+        ),
         grid_spec=grid_spec,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
@@ -504,8 +513,14 @@ def closest_hit_pallas(
     t_max=None,
     t_decide=None,
     with_stats: bool = False,
+    ray_block: int | None = None,
 ):
     """Contract-identical to intersect.closest_hit_xla (incl. t_max).
+
+    ray_block, optional: lanes per cull tile for THIS sweep (>=128
+    divisor of ORDER_GROUP_RAYS); defaults to the module-level
+    RAYVERB_RAY_BLOCK. Finer tiles shrink each tile's swept corridor
+    (fewer executed pairs) at more grid steps per sweep.
 
     t_decide (M,), optional: per-row any-hit thresholds. A row whose
     running best drops strictly below its threshold stops refining — its
@@ -523,6 +538,12 @@ def closest_hit_pallas(
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    rb = RAY_BLOCK if ray_block is None else int(ray_block)
+    if rb < 128 or ORDER_GROUP_RAYS % rb:
+        raise ValueError(
+            f"ray_block={rb} must be a >=128 divisor of {ORDER_GROUP_RAYS}"
+        )
+    lg = min(LANE_GATE, rb)
 
     m = origins.shape[0]
     tris, aabbs = _block_padded(soup)
@@ -614,7 +635,7 @@ def closest_hit_pallas(
     order = jnp.argsort(rank_super, axis=1).astype(jnp.int32).T
     live = (
         (tmax_row > 0)
-        .reshape(mp // RAY_BLOCK, RAY_BLOCK)
+        .reshape(mp // rb, rb)
         .any(axis=1)
         .astype(jnp.int32)
     )
@@ -644,8 +665,10 @@ def closest_hit_pallas(
         live,
         interpret=interpret,
         with_stats=with_stats,
-        og=og_rays // RAY_BLOCK,
+        og=og_rays // rb,
         subs=subs,
+        ray_block=rb,
+        lane_gate=lg,
     )
     best_t, best_i = outs[0], outs[1]
     idx = best_i[0, :m]
@@ -662,8 +685,8 @@ def closest_hit_pallas(
     # the kernel's tile shape (ADVICE r3). float32 keeps the counts
     # overflow-free (stats are reported at ~1e-7 relative precision,
     # plenty for observability).
-    cnt = outs[2][0, ::LANE_GATE].astype(jnp.float32)
+    cnt = outs[2][0, ::lg].astype(jnp.float32)
     executed_per_group = cnt.reshape(
-        -1, ORDER_GROUP_RAYS // LANE_GATE
-    ).sum(axis=1) * np.float32(TRI_BLOCK * LANE_GATE)
+        -1, ORDER_GROUP_RAYS // lg
+    ).sum(axis=1) * np.float32(TRI_BLOCK * lg)
     return hit, executed_per_group
