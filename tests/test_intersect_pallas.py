@@ -132,3 +132,64 @@ def test_order_group_coarsens_to_fit_smem():
     assert og > ORDER_GROUP_RAYS and og % ORDER_GROUP_RAYS == 0
     mp = _round_up(1 << 22, og)
     assert _round_up(64, 8) * _round_up(mp // og, 128) * 4 <= SMEM_ORDER_BYTES
+
+
+@pytest.mark.parametrize("ray_block", [128, 256, 512])
+def test_ray_block_parameter_matches_xla(assets_dir, rng, ray_block):
+    """Per-sweep ray_block (cull-tile lane width) is pure performance
+    machinery: verdicts, t, and index must match the XLA sweep at every
+    width, including rows past the padding boundary."""
+    from rayverb_tpu import load_scene
+
+    scene = load_scene(
+        str(assets_dir / "test_models" / "random_pillars.obj"),
+        str(assets_dir / "materials" / "mat.json"),
+    )
+    soup = soup_from_scene(scene)
+    center = scene.bounds.mean(axis=0)
+    o, d = random_rays(rng, 700, center, spread=3.0)
+    ref = closest_hit_xla(o, d, soup)
+    got = closest_hit_pallas(
+        o, d, soup, interpret=True, ray_block=ray_block
+    )
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[hit], np.asarray(ref.t)[hit], rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.index)[hit], np.asarray(ref.index)[hit]
+    )
+
+
+def test_ray_block_rejects_bad_widths(large_square_soup, rng):
+    o, d = random_rays(rng, 64, np.array([0, 10, 0]))
+    for bad in (64, 192, 1024):
+        with pytest.raises(ValueError):
+            closest_hit_pallas(
+                o, d, large_square_soup, interpret=True, ray_block=bad
+            )
+
+
+def test_ray_block_stats_totals_agree(assets_dir, rng):
+    """Executed-pair counters aggregate to the same 512-row groups for
+    every tile width; totals shrink (or hold) as tiles narrow — never
+    grow — since a narrower tile's corridor is a subset of the union."""
+    from rayverb_tpu import load_scene
+
+    scene = load_scene(
+        str(assets_dir / "test_models" / "random_pillars.obj"),
+        str(assets_dir / "materials" / "mat.json"),
+    )
+    soup = soup_from_scene(scene)
+    center = scene.bounds.mean(axis=0)
+    o, d = random_rays(rng, 600, center, spread=3.0)
+    totals = {}
+    for rb in (512, 256, 128):
+        _, cnt = closest_hit_pallas(
+            o, d, soup, interpret=True, ray_block=rb, with_stats=True
+        )
+        assert cnt.shape == (2,)  # 600 rows -> two 512-row groups
+        totals[rb] = float(np.sum(np.asarray(cnt)))
+    assert totals[256] <= totals[512]
+    assert totals[128] <= totals[256]
