@@ -580,31 +580,9 @@ def _trace_impl(
         chain = jnp.stack(prev_tris, axis=1)            # (N, k+1, 3, 3)
         t_k = intersect_triangle(src_col, DIR[:, None, :], chain)
         seg_front = t_k > EPSILON                        # (N, k+1)
-        ip = src_col + DIR[:, None, :] * t_k[..., None]  # mirrored-space hits
-        # un-mirror each segment point back to world space through planes
-        # l = k-1 .. 0 (kernel.cpp:412-414)
-        ip_world_cols = []
-        for k in range(index + 1):
-            p = ip[:, k]
-            for l in range(k - 1, -1, -1):
-                p = _mirror_point(p, prev_tris[l])
-            ip_world_cols.append(p)
-        ip_world = jnp.stack(ip_world_cols, axis=1)      # (N, k+1, 3)
-        prev_pts = jnp.concatenate(
-            [src_col, ip_world[:, :-1]], axis=1
-        )
-        seg_vec = ip_world - prev_pts
-        seg_dir = _safe_normalize(seg_vec)
-
-        # ---- one combined sweep: mic shadow ray + validation segments +
-        # image mic-visibility ----
         k1 = index + 1
-        final_ip = ip_world[:, index]
         to_mic_diffuse = smic - intersection
-        to_mic_image = smic - final_ip
         mag_diffuse = jnp.linalg.norm(to_mic_diffuse, axis=-1)
-        mag_image = jnp.linalg.norm(to_mic_image, axis=-1)
-        seg_len = jnp.linalg.norm(seg_vec, axis=-1)
 
         # cheap admission gate (EXACT): emitting this bounce's image needs
         # all(seg_ok), and seg_ok <= seg_front, which cost only the k+1
@@ -626,8 +604,6 @@ def _trace_impl(
             maybe, csum - 1, csum[-1] + jnp.cumsum((~maybe).astype(jnp.int32)) - 1
         )
         perm = _inv_permutation(inv_perm)
-        g1 = maybe[:, None]
-        g2 = maybe[:, None, None]
         zhat = jnp.array([0.0, 0.0, 1.0], jnp.float32)
 
         # static row cap for the validation population: gate-passing rays
@@ -645,12 +621,48 @@ def _trace_impl(
         if g_cap < n:
             overflow = overflow | jnp.any(maybe & ~in_cap)
 
-        seg_origin = jnp.where(g2, prev_pts, _DEAD_ORIGIN)[sel]
-        seg_d = jnp.where(g2, seg_dir, zhat)[sel]
-        seg_bound = jnp.where(g1, _sweep_bound(seg_len), 0.0)[sel]
-        img_origin = jnp.where(g1, final_ip, _DEAD_ORIGIN)[sel]
-        img_d = jnp.where(g1, _safe_normalize(to_mic_image), zhat)[sel]
-        img_bound = jnp.where(maybe, _sweep_bound(mag_image), 0.0)[sel]
+        # the O(k^2) un-mirroring and all segment geometry run COMPACTED
+        # to the g_cap admitted rows: the admission gate above needs only
+        # t_k, so everything downstream of it — mirrored-space hits,
+        # world-space un-mirrors, segment vectors, the image
+        # mic-visibility geometry, and the post-sweep endpoint checks —
+        # is gathered onto sel once and computed at g_cap width instead
+        # of full width (3-10x fewer rows at north-star scale; exact: the
+        # rows left behind could only ever produce img_ok = False).
+        maybe_s = maybe[sel]                              # (g_cap,)
+        src_col_s = jnp.broadcast_to(ssrc, (n, 3))[sel][:, None, :]
+        DIR_s = DIR[sel]
+        t_k_s = t_k[sel]                                  # (g_cap, k+1)
+        chain_s = chain[sel]                              # (g_cap, k+1, 3, 3)
+        ip_s = src_col_s + DIR_s[:, None, :] * t_k_s[..., None]
+        # un-mirror each segment point back to world space through planes
+        # l = k-1 .. 0 (kernel.cpp:412-414)
+        ip_world_cols = []
+        for k in range(index + 1):
+            p = ip_s[:, k]
+            for l in range(k - 1, -1, -1):
+                p = _mirror_point(p, chain_s[:, l])
+            ip_world_cols.append(p)
+        ip_world_s = jnp.stack(ip_world_cols, axis=1)     # (g_cap, k+1, 3)
+        prev_pts_s = jnp.concatenate(
+            [src_col_s, ip_world_s[:, :-1]], axis=1
+        )
+        seg_vec_s = ip_world_s - prev_pts_s
+        seg_dir_s = _safe_normalize(seg_vec_s)
+        seg_len_s = jnp.linalg.norm(seg_vec_s, axis=-1)
+        final_ip_s = ip_world_s[:, index]
+        smic_s = smic[sel] if multi else smic
+        to_mic_image_s = smic_s - final_ip_s
+        mag_image_s = jnp.linalg.norm(to_mic_image_s, axis=-1)
+        g1 = maybe_s[:, None]
+        g2 = maybe_s[:, None, None]
+
+        seg_origin = jnp.where(g2, prev_pts_s, _DEAD_ORIGIN)
+        seg_d = jnp.where(g2, seg_dir_s, zhat)
+        seg_bound = jnp.where(g1, _sweep_bound(seg_len_s), 0.0)
+        img_origin = jnp.where(g1, final_ip_s, _DEAD_ORIGIN)
+        img_d = jnp.where(g1, _safe_normalize(to_mic_image_s), zhat)
+        img_bound = jnp.where(maybe_s, _sweep_bound(mag_image_s), 0.0)
         # a dead ray's shadow verdict is never read (emit = alive & vis)
         if _SHADOW_REVERSED:
             (
@@ -686,7 +698,7 @@ def _trace_impl(
             [
                 sh_decide,
                 jnp.zeros((g_cap * k1,), jnp.float32),
-                jnp.where(maybe, mag_image, 0.0)[sel],
+                jnp.where(maybe_s, mag_image_s, 0.0),
             ],
             axis=0,
         )
@@ -702,26 +714,13 @@ def _trace_impl(
             ],
             t_decide=decide,
         )
-        # scatter the capped validation results back onto full-width rows
-        # (rays beyond the cap read "not validated"; overflow re-runs)
-        seg_t = (
-            jnp.zeros((n, k1), jnp.float32)
-            .at[sel]
-            .set(sweep.t[n : n + g_cap * k1].reshape(g_cap, k1))
-        )
-        seg_hit = (
-            jnp.zeros((n, k1), bool)
-            .at[sel]
-            .set(sweep.hit[n : n + g_cap * k1].reshape(g_cap, k1))
-        )
-        imgvis_t = (
-            jnp.zeros((n,), jnp.float32)
-            .at[sel]
-            .set(sweep.t[n + g_cap * k1 :])
-        )
-        imgvis_hit = (
-            jnp.zeros((n,), bool).at[sel].set(sweep.hit[n + g_cap * k1 :])
-        )
+        # validation results stay at g_cap width; only the final boolean
+        # verdict scatters back onto full-width rows (rays beyond the cap
+        # read "not validated"; overflow re-runs)
+        seg_t_s = sweep.t[n : n + g_cap * k1].reshape(g_cap, k1)
+        seg_hit_s = sweep.hit[n : n + g_cap * k1].reshape(g_cap, k1)
+        imgvis_t_s = sweep.t[n + g_cap * k1 :]
+        imgvis_hit_s = sweep.hit[n + g_cap * k1 :]
 
         if _SHADOW_REVERSED:
             h_shadow = Hit(
@@ -734,17 +733,27 @@ def _trace_impl(
 
         # validation: the scene hit along each segment must land on the
         # segment's endpoint (kernel.cpp:418-428)
-        new_ip = prev_pts + seg_dir * jnp.where(seg_hit, seg_t, 0.0)[..., None]
-        seg_ok = (
-            seg_front
-            & seg_hit
-            & jnp.all(jnp.abs(new_ip - ip_world) < EPSILON, axis=-1)
+        new_ip_s = (
+            prev_pts_s
+            + seg_dir_s * jnp.where(seg_hit_s, seg_t_s, 0.0)[..., None]
         )
-        img_vis = _visible_from_hit(
-            Hit(imgvis_t, jnp.zeros_like(imgvis_t, jnp.int32), imgvis_hit),
-            mag_image,
+        seg_ok_s = (
+            (t_k_s > EPSILON)
+            & seg_hit_s
+            & jnp.all(jnp.abs(new_ip_s - ip_world_s) < EPSILON, axis=-1)
         )
-        img_ok = maybe & in_cap & jnp.all(seg_ok, axis=-1) & img_vis
+        img_vis_s = _visible_from_hit(
+            Hit(
+                imgvis_t_s,
+                jnp.zeros_like(imgvis_t_s, jnp.int32),
+                imgvis_hit_s,
+            ),
+            mag_image_s,
+        )
+        img_ok_s = maybe_s & jnp.all(seg_ok_s, axis=-1) & img_vis_s
+        img_ok = (
+            jnp.zeros((n,), bool).at[sel].set(img_ok_s, unique_indices=True)
+        )
 
         # emit the image impulse with the PRE-bounce volume
         # (kernel.cpp:442-455; volume updated only afterwards at :501)
