@@ -30,7 +30,7 @@ Documented deviations from the reference (beyond those in trace.py):
 from __future__ import annotations
 
 import os
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -44,7 +44,7 @@ from ..constants import (
     SECONDS_PER_METER,
     TRIM_TAIL_FLOOR,
 )
-from .filters import _band_coeffs, _biquad_response, _fft_len
+from .filters import _band_coeffs, _fft_len
 from .intersect import TriangleSoup, soup_from_scene
 from .trace import DEFAULT_RAY_CHUNK, trace_chunk
 
@@ -253,7 +253,13 @@ def _attenuate_and_bin(
 #             reference semantics anchor; bit-order of within-bin f32
 #             sums differs between the two, results agree to scatter-
 #             order noise).
-_BIN_MODE = os.environ.get("RAYVERB_BIN", "sorted")
+# The mode is read per render (render_fused's bin_mode argument defaults
+# to it) and travels as a STATIC jit argument — the two modes are
+# different compiled programs, so bench.py can A/B them in one process.
+
+
+def _bin_mode() -> str:
+    return os.environ.get("RAYVERB_BIN", "sorted")
 
 
 def _segmented_run_totals(sorted_keys, sorted_vals):
@@ -417,6 +423,7 @@ def _chunk_core(
     resort: bool = False,
     sweep_stats: bool = False,
     seg_budget_rows: int | None = None,
+    bin_mode: str = "sorted",
 ) -> ChunkOut:
     """Trace one ray chunk and bin its diffuse contribution (accumulating
     into `init_hist` when given). Shared by the jitted single-chunk entry
@@ -435,7 +442,7 @@ def _chunk_core(
     source = jnp.asarray(source, jnp.float32)
     n = directions.shape[0]
 
-    sorted_bin = include_diffuse and _BIN_MODE != "scatter"
+    sorted_bin = include_diffuse and bin_mode != "scatter"
     if sorted_bin:
         consume = _collect_row
         aux0 = _row_buffers(nreflections, n)
@@ -529,6 +536,7 @@ def _chunk_core(
         "resort",
         "sweep_stats",
         "seg_budget_rows",
+        "bin_mode",
     ),
 )
 def _fused_trace_bin(
@@ -548,6 +556,7 @@ def _fused_trace_bin(
     resort: bool = False,
     sweep_stats: bool = False,
     seg_budget_rows: int | None = None,
+    bin_mode: str = "sorted",
 ):
     """Single-pass fused trace: every diffuse bounce row is scattered into
     the carried (C, 8, L) histogram the moment it is produced, so the
@@ -563,7 +572,7 @@ def _fused_trace_bin(
     n = directions.shape[0]
     ray_ok = jnp.arange(n) < nvalid
 
-    sorted_bin = include_diffuse and _BIN_MODE != "scatter"
+    sorted_bin = include_diffuse and bin_mode != "scatter"
     if sorted_bin:
         # padding rays were silenced at trace start (nvalid volume
         # zeroing), so rows need no per-ray masking — which is what lets
@@ -643,6 +652,7 @@ def _fused_trace_bin(
         "resort",
         "sweep_stats",
         "seg_budget_rows",
+        "bin_mode",
     ),
 )
 def _fused_trace_all(
@@ -663,6 +673,7 @@ def _fused_trace_all(
     resort: bool = False,
     sweep_stats: bool = False,
     seg_budget_rows: int | None = None,
+    bin_mode: str = "sorted",
 ):
     """One trace+bin SEGMENT as one compiled program: lax.scan over ray
     chunks carrying the energy histogram and time bounds (accumulating
@@ -700,6 +711,7 @@ def _fused_trace_all(
             resort=resort,
             sweep_stats=sweep_stats,
             seg_budget_rows=seg_budget_rows,
+            bin_mode=bin_mode,
         )
         carry = (
             out.hist,
@@ -1030,7 +1042,28 @@ def finalize_filter_params(
     selects the reference's exact sequential arithmetic instead (they
     agree to ~1e-6 of peak — both bounded by the float64 oracle gate).
     The windowed-sinc FIR bank always uses 'fir' (one FFT convolution per
-    band — there is no IIR form). Returns (params, flips, nfft, method)."""
+    band — there is no IIR form). Returns (params, flips, nfft, method).
+
+    Results are cached per (filter, sr, cutoff, length, method): the fft
+    responses live on the rFFT grid of the render's power-of-two bucket
+    (~0.5-2 M points at reference IR lengths), and rebuilding + re-uploading
+    them cost MORE than the whole rest of a steady vault render — the
+    r4-final BENCH vault regression (15.4 s vs 2.6 s) was exactly this
+    host-side pipeline running twice per render inside the trace_bin
+    timing mark. histogram_length's power-of-two quantisation keeps the
+    key space tiny, so a corpus of renders shares a handful of entries."""
+    if method is None and filter_type != FilterType.WINDOWED_SINC:
+        method = os.environ.get("RAYVERB_FINALIZE_FILTER", "fft")
+    return _finalize_filter_params_cached(
+        filter_type, float(sample_rate), float(lo_cutoff), int(length), method
+    )
+
+
+@lru_cache(maxsize=16)
+def _finalize_filter_params_cached(
+    filter_type, sample_rate: float, lo_cutoff: float, length: int,
+    method: str | None,
+):
     if filter_type == FilterType.WINDOWED_SINC:
         from .filters import KERNEL_LENGTH, band_edges, bandpass_sinc_kernel
 
@@ -1049,8 +1082,6 @@ def finalize_filter_params(
             np.stack([kspec.real, kspec.imag], axis=-1).astype(np.float32)
         )
         return params, (False,), nfft, "fir"
-    if method is None:
-        method = os.environ.get("RAYVERB_FINALIZE_FILTER", "fft")
     passes = _band_coeffs(filter_type, sample_rate, lo_cutoff)
     flips = tuple(bool(f) for _, f in passes)
     if method == "scan":
@@ -1066,26 +1097,28 @@ def finalize_filter_params(
         # corpus-proven 'fir' path. Orientation is the cumulative parity
         # of the reference's reversals, as in _finalize_filter's
         # scan branch.
-        resp_list = []
-        orientation = False
-        for coeffs, do_flip in passes:
-            orientation ^= do_flip
-            r = np.stack(
-                [_biquad_response(cf, nfft) for cf in coeffs]
-            )
-            if orientation:
-                r = np.conj(r)
-            resp_list.append(r)
-        # responses ship as float32 (re, im) pairs: complex64 host->device
+        #
+        # Responses ship as float32 (re, im) pairs: complex64 host->device
         # transfers hit UNIMPLEMENTED on the axon backend (complex
         # arithmetic INSIDE programs is fine — lax.complex reassembles on
-        # device, see _finalize_filter)
-        stacked = np.stack(resp_list)
-        params = jnp.asarray(
-            np.stack([stacked.real, stacked.imag], axis=-1).astype(
-                np.float32
-            )
-        )
+        # device, see _finalize_filter). The (re, im) planes are FILLED IN
+        # PLACE on the shared rFFT exp grid: at reference IR lengths the
+        # grid is ~0.5-2 M points and the per-pass stack/conj/astype chain
+        # of complex128 temporaries used to dominate whole renders.
+        k = nfft // 2 + 1
+        w = np.exp((-2j * np.pi / nfft) * np.arange(k))
+        w2 = w * w
+        params_np = np.empty((len(passes), NUM_BANDS, k, 2), np.float32)
+        orientation = False
+        for p, (coeffs, do_flip) in enumerate(passes):
+            orientation ^= do_flip
+            sign = -1.0 if orientation else 1.0  # conj == negated imag
+            for band, cf in enumerate(coeffs):
+                b0, b1, b2, a1, a2 = [float(c) for c in cf]
+                r = (b0 + b1 * w + b2 * w2) / (1.0 + a1 * w + a2 * w2)
+                params_np[p, band, :, 0] = r.real
+                params_np[p, band, :, 1] = sign * r.imag
+        params = jnp.asarray(params_np)
     return params, flips, nfft, method
 
 
@@ -1131,8 +1164,12 @@ def render_fused(
     ray_chunk: int = DEFAULT_RAY_CHUNK,
     soup: TriangleSoup | None = None,
     stats: bool = False,
+    bin_mode: str | None = None,
 ):
     """Full-speed render. Returns (channels (C, T') float32 numpy, info dict).
+
+    bin_mode: 'sorted' (default) or 'scatter' — the diffuse histogram
+    binning strategy (see _bin_mode above); None reads RAYVERB_BIN.
 
     Only scalars (predelay, max time, trim length) and the final (C, L)
     output ever leave the device. With stats=True the info dict gains a
@@ -1151,6 +1188,8 @@ def render_fused(
     if profile_ctx is not None:
         profile_ctx.__enter__()
     t_start = _time.perf_counter()
+    if bin_mode is None:
+        bin_mode = _bin_mode()
     if soup is None:
         soup = soup_from_scene(scene)
     spec = make_atten_spec(config.attenuation_model, hrtf_table)
@@ -1234,6 +1273,7 @@ def render_fused(
                 resort=resort,
                 sweep_stats=sweep_stats,
                 seg_budget_rows=budget,
+                bin_mode=bin_mode,
             )
             if sweep_stats:
                 hist, max_t_dev, min_t_dev, imgs, ovf, tstats = out
@@ -1295,6 +1335,7 @@ def render_fused(
                 resort=resort,
                 sweep_stats=sweep_stats,
                 seg_budget_rows=budget,
+                bin_mode=bin_mode,
             )
             hist, max_t_dev, min_t_dev, part, ovf = out[:5]
             carry = (hist, max_t_dev, min_t_dev, ovf)

@@ -617,8 +617,8 @@ def _trace_impl(
         else:
             g_cap = n
         sel = perm[:g_cap]
-        in_cap = inv_perm < g_cap
         if g_cap < n:
+            in_cap = inv_perm < g_cap
             overflow = overflow | jnp.any(maybe & ~in_cap)
 
         # the O(k^2) un-mirroring and all segment geometry run COMPACTED
@@ -630,7 +630,7 @@ def _trace_impl(
         # of full width (3-10x fewer rows at north-star scale; exact: the
         # rows left behind could only ever produce img_ok = False).
         maybe_s = maybe[sel]                              # (g_cap,)
-        src_col_s = jnp.broadcast_to(ssrc, (n, 3))[sel][:, None, :]
+        src_col_s = src_col[sel]                          # (g_cap, 1, 3)
         DIR_s = DIR[sel]
         t_k_s = t_k[sel]                                  # (g_cap, k+1)
         chain_s = chain[sel]                              # (g_cap, k+1, 3, 3)

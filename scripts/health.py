@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--threshold", type=float, default=5.0)
     ap.add_argument("--runs", type=int, default=1)
     args = ap.parse_args()
+    if args.runs < 1:
+        ap.error("--runs must be >= 1")
 
     from rayverb_tpu import load_config, load_scene
     from rayverb_tpu.ops.render import render_fused

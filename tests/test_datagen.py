@@ -39,6 +39,7 @@ def box(assets_dir):
     )
 
 
+@pytest.mark.slow
 def test_batched_matches_sequential(box):
     cfg = make_config()
     b = 3
@@ -67,6 +68,7 @@ def test_batched_matches_sequential(box):
         assert np.abs(irs[i, :, int(contents[i]):]).max(initial=0) < 1e-6
 
 
+@pytest.mark.slow
 def test_batched_sharded_over_mesh(box):
     cfg = make_config()
     b = 8
@@ -79,3 +81,46 @@ def test_batched_sharded_over_mesh(box):
     )
     irs_ref, _ = render_irs_batched(box, cfg, sources, mics, dirs)
     np.testing.assert_allclose(np.asarray(irs), np.asarray(irs_ref), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_trim_batch_matches_single_pair(box):
+    """Per-pair predelay (on-device) + tail trim (trim_batch) reproduce the
+    single-pair fused render's output exactly (VERDICT r4 item 7;
+    reference semantics fixPredelay rayverb.h:77-97, trimTail
+    rayverb.cpp:96-122)."""
+    from rayverb_tpu.parallel import trim_batch
+
+    cfg = make_config(trim_predelay=True, trim_tail=True)
+    b = 2
+    sources = np.float32([[0, 2, 2], [1, 3, 0]])
+    mics = np.float32([[0, 2, 0], [0, 4, 2]])
+    dirs = np.stack([random_directions(cfg.rays, seed=i) for i in range(b)])
+    irs, contents = render_irs_batched(box, cfg, sources, mics, dirs)
+    trimmed = trim_batch(irs, contents, cfg)
+
+    for i in range(b):
+        cfg_i = make_config(
+            source_position=sources[i].tolist(),
+            mic_position=mics[i].tolist(),
+            trim_predelay=True,
+            trim_tail=True,
+        )
+        single, info = render_fused(box, cfg_i, dirs[i])
+        assert trimmed[i].shape == single.shape, f"pair {i}"
+        np.testing.assert_allclose(
+            trimmed[i], single, atol=1e-5, err_msg=f"pair {i}"
+        )
+
+
+def test_trim_batch_content_only(box):
+    """Without trim_tail, trim_batch slices to the content lengths."""
+    from rayverb_tpu.parallel import trim_batch
+
+    cfg = make_config()
+    sources = np.float32([[0, 2, 2]])
+    mics = np.float32([[0, 2, 0]])
+    dirs = np.stack([random_directions(cfg.rays, seed=0)])
+    irs, contents = render_irs_batched(box, cfg, sources, mics, dirs)
+    out = trim_batch(irs, contents, cfg)
+    assert out[0].shape[-1] == int(contents[0])

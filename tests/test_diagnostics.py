@@ -38,6 +38,7 @@ def write_config(tmp_path, rays=24, reflections=6):
     return path, doc
 
 
+@pytest.mark.slow
 def test_dump_paths_round_trip(tmp_path, large_square_scene):
     """CLI --dump-paths -> JSONL whose positions/volumes equal the trace's
     diffuse outputs (schema: one JSON array per ray of

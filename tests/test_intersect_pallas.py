@@ -17,7 +17,11 @@ def random_rays(rng, n, center, spread=5.0):
     return jnp.asarray(o), jnp.asarray(d)
 
 
-@pytest.mark.parametrize("n", [1, 7, 512, 700])
+@pytest.mark.parametrize(
+    "n",
+    [1, 7, pytest.param(512, marks=pytest.mark.slow),
+     pytest.param(700, marks=pytest.mark.slow)],
+)
 def test_matches_xla_on_box(large_square_soup, rng, n):
     o, d = random_rays(rng, n, np.array([0, 10, 0]))
     ref = closest_hit_xla(o, d, large_square_soup)
@@ -54,6 +58,7 @@ def test_matches_xla_on_larger_scene(assets_dir, rng):
     )
 
 
+@pytest.mark.slow
 def test_trace_with_pallas_impl_matches(large_square_scene):
     """Full trace equality between impl='xla' and impl='pallas'
     (interpret mode under the hood on CPU).

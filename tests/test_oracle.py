@@ -125,7 +125,10 @@ def _assert_within_60db(got, want):
     assert np.abs(want[:, n:]).max(initial=0.0) / peak < DB60
 
 
-@pytest.mark.parametrize("scene_name", ["box", "bedroom"])
+@pytest.mark.parametrize(
+    "scene_name",
+    ["box", pytest.param("bedroom", marks=pytest.mark.slow)],
+)
 def test_modular_matches_oracle_speakers(scene_name, request):
     scene = request.getfixturevalue(scene_name)
     cfg = _config(SPEAKERS)
@@ -135,6 +138,7 @@ def test_modular_matches_oracle_speakers(scene_name, request):
     _assert_within_60db(np.asarray(got, np.float64), want)
 
 
+@pytest.mark.slow
 def test_fused_matches_oracle_speakers(box):
     cfg = _config(SPEAKERS)
     dirs = random_directions(cfg.rays, seed=cfg.seed)

@@ -56,6 +56,7 @@ def test_shard_rays_pads():
     assert sharded.sharding.is_fully_replicated is False
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(box):
     cfg = make_config()
     dirs = random_directions(cfg.rays, seed=cfg.seed)
@@ -67,6 +68,7 @@ def test_sharded_matches_single_device(box):
     np.testing.assert_allclose(single[:, :n], multi[:, :n], atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_uneven_rays(box):
     """Ray count not divisible by the mesh: padding must not leak."""
     cfg = make_config(rays=61)
@@ -77,6 +79,7 @@ def test_sharded_uneven_rays(box):
     np.testing.assert_allclose(single[:, :n], multi[:, :n], atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_hrtf(box):
     cfg = make_config(
         attenuation_model={"hrtf": {"facing": [0, 0, 1], "up": [0, 1, 0]}}
@@ -97,6 +100,7 @@ def test_sharded_subset_mesh(box):
     np.testing.assert_allclose(single[:, :n], multi[:, :n], atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_at_scale(box):
     """Scale-grade path (VERDICT r2 item 6): >= 64k rays through the full
     sharded machinery — chunked scan per shard, segment dispatch, per-shard
@@ -117,6 +121,7 @@ def test_sharded_at_scale(box):
     )
 
 
+@pytest.mark.slow
 def test_sharded_image_budget_retry(box):
     """A too-small image budget must retry transparently with a larger
     one, not drop records."""

@@ -3,6 +3,7 @@
 import json
 
 import numpy as np
+import pytest
 
 from rayverb_tpu.config.schema import parse_config
 from rayverb_tpu.engine import load_raw, save_raw
@@ -53,6 +54,7 @@ def test_roundtrip_matches_direct_render(assets_dir, tmp_path):
     assert stereo.channels.shape[0] == 2
 
 
+@pytest.mark.slow
 def test_cli_save_and_from_raw(assets_dir, tmp_path):
     from rayverb_tpu.cli import main
     from rayverb_tpu.io.audio import read_audio

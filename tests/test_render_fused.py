@@ -70,6 +70,7 @@ def test_hrtf_match(box):
     compare(cfg, box)
 
 
+@pytest.mark.slow
 def test_output_modes(box):
     compare(make_config(output_mode="image_only"), box)
     compare(make_config(output_mode="diffuse_only"), box)
@@ -250,6 +251,7 @@ class TestResortInvariance:
             resort=resort,
         )
 
+    @pytest.mark.slow
     def test_resort_matches_unsorted(self, box):
         h0, mx0, mn0, img0, _ovf0 = self._run(box, resort=False)
         h1, mx1, mn1, img1, _ovf1 = self._run(box, resort=True)
@@ -262,6 +264,7 @@ class TestResortInvariance:
         for a, b in zip(img0, img1):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_nvalid_matches_sliced(self, box):
         """Rendering n rays padded to 2n with nvalid=n equals rendering
         the n rays alone (padding rays silenced at trace start)."""

@@ -154,6 +154,7 @@ def test_raytracer_results_api(traced):
     np.testing.assert_allclose(a.mic, MIC)
 
 
+@pytest.mark.slow
 def test_chunked_trace_matches_unchunked(large_square_scene, rng):
     from rayverb_tpu.ops.intersect import soup_from_scene
 
