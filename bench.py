@@ -74,24 +74,48 @@ def _north_star_config():
 STEADY_RUNS = int(os.environ.get("RAYVERB_BENCH_RUNS", "2"))
 
 
-def run(cfg, scene, ray_chunk, seed=1234, stats=False):
+def run(cfg, scene, ray_chunk, seed=1234, stats=False, bin_mode=None):
     from rayverb_tpu.ops.render import render_fused
     from rayverb_tpu.utils.directions import random_directions
 
     dirs = random_directions(cfg.rays, seed=seed)
 
     # warm-up: compiles the fused chunk + finalize programs
-    render_fused(scene, cfg, dirs, ray_chunk=ray_chunk, stats=stats)
+    render_fused(scene, cfg, dirs, ray_chunk=ray_chunk, stats=stats,
+                 bin_mode=bin_mode)
 
     wall = float("inf")
     for _ in range(STEADY_RUNS):
         t0 = time.perf_counter()
         channels, info = render_fused(
-            scene, cfg, dirs, ray_chunk=ray_chunk, stats=stats
+            scene, cfg, dirs, ray_chunk=ray_chunk, stats=stats,
+            bin_mode=bin_mode,
         )
         wall = min(wall, time.perf_counter() - t0)
     assert channels.size > 0
     return cfg.rays * cfg.reflections, wall, info
+
+
+def _chip_health():
+    """Program-independent chip+tunnel health scalar: steady TFLOP/s of a
+    256-long chained 8k bf16 matmul (v5e peak ~197; a healthy chip+tunnel
+    sustains ~150+). Our render programs can regress for framework
+    reasons; this cannot — so the driver can tell chip sickness from a
+    real regression in the same JSON artifact (VERDICT r4 item 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8192, 8192), jnp.bfloat16)
+    f = jax.jit(
+        lambda a: jax.lax.fori_loop(0, 256, lambda i, c: c @ a * 1e-3, a).sum()
+    )
+    float(f(x))  # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return 256 * 2 * 8192**3 / best / 1e12
 
 
 def _bench_datagen(scene, pairs=64, rays=4096, reflections=16):
@@ -149,13 +173,24 @@ def main():
     from rayverb_tpu.runtime import retry_reexec_fail
 
     try:
-        # --- continuity workload: the reference's headline vault render ---
+        # --- chip/tunnel health control (must come first: if this is low,
+        # every wall below is suspect — see docs/perf.md hygiene note) ---
+        health_tflops = _chip_health()
+
+        # --- continuity workload: the reference's headline vault render,
+        # both binning modes (sorted = default; scatter = r3 semantics
+        # anchor) so a regression in either is visible in the artifact ---
         vault_cfg = load_config(os.path.join(REPO, "assets/configs/vault.json"))
         vault_scene = load_scene(
             os.path.join(REPO, "assets/test_models/vault.obj"),
             os.path.join(REPO, "assets/materials/vault.json"),
         )
-        vault_bounces, vault_wall, _ = run(vault_cfg, vault_scene, ray_chunk=4096)
+        vault_bounces, vault_wall, _ = run(
+            vault_cfg, vault_scene, ray_chunk=4096, bin_mode="sorted"
+        )
+        _, vault_wall_scatter, _ = run(
+            vault_cfg, vault_scene, ray_chunk=4096, bin_mode="scatter"
+        )
 
         # --- north-star workload: 1M rays x 16 bounces, 100k-tri hall ---
         ns_cfg = _north_star_config()
@@ -202,6 +237,10 @@ def main():
                 "north_star_wall_s": round(ns_wall, 3),
                 "vault_ray_bounces_per_s": round(vault_value, 1),
                 "vault_wall_s": round(vault_wall, 3),
+                "vault_wall_s_scatter": round(vault_wall_scatter, 3),
+                # chip/tunnel health control (program-independent): steady
+                # chained-matmul TFLOP/s; healthy v5e+tunnel ~150+, peak 197
+                "health_matmul_tflops": round(health_tflops, 1),
                 "north_star_pair_tests_issued": ns_info.get(
                     "pair_tests_issued"
                 ),

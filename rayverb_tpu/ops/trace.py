@@ -219,6 +219,25 @@ def _inv_permutation(perm):
     )
 
 
+# Horizon-split bounce sweeps (RAYVERB_HORIZON = fraction of the scene
+# bbox diagonal, 0/unset = off): the executed-pair floor of the tiled
+# sweep is the UNION of a tile's per-ray corridors, so one far-flying ray
+# drags its whole tile through a long corridor of triangle blocks. With a
+# horizon h, the bounce closest-hit runs as two sweeps:
+#   pass 1: per-ray bound capped at h — a hit found under a t_max cap is
+#           the true closest hit (the cap only culls blocks that could
+#           not beat it), so rays resolving within h are DONE;
+#   pass 2: rays unresolved within h (typically few) are PARTITIONED to
+#           the front of a fresh sort and re-swept unbounded; everyone
+#           else parks dead (bound 0), so almost every pass-2 tile is
+#           fully dead (no triangle DMA, one culled region per step).
+# Long-corridor work thus runs in compact tiles of long-corridor rays
+# instead of inflating every mixed tile's union — the "wavefront with
+# compaction between depths" structure of docs/perf.md r5 notes item 1,
+# expressed in two fixed-shape sweeps. Results are bit-identical.
+_HORIZON_FRAC = float(__import__("os").environ.get("RAYVERB_HORIZON", "0"))
+
+
 # Mic shadow rays run REVERSED (origin at the mic, direction toward the
 # bounce point) unless this env opts back into the reference's
 # surface-to-mic orientation. Rationale: every shadow row of a bounce
@@ -431,6 +450,15 @@ def _trace_impl(
         assert consume_row is not None, "resort requires the consume path"
         lo_b = soup.bounds[0]
         inv_span = 1.0 / jnp.maximum(soup.bounds[1] - soup.bounds[0], 1e-6)
+        horizon = (
+            _HORIZON_FRAC
+            * jnp.linalg.norm(
+                jnp.asarray(soup.bounds[1], jnp.float32)
+                - jnp.asarray(soup.bounds[0], jnp.float32)
+            )
+            if _HORIZON_FRAC > 0
+            else None
+        )
 
     volume0 = jnp.ones((n, NUM_BANDS), jnp.float32)
     if nvalid is not None:
@@ -516,12 +544,46 @@ def _trace_impl(
             return _hit(o, dirv, b, st_acc, [("bounce", 0, n)])
         key = _ray_sort_key(pos, dirv, lo_b, inv_span)
         perm = jnp.argsort(key)
-        hs, st_acc = _hit(
-            o[perm], dirv[perm], b[perm], st_acc, [("bounce", 0, n)]
+        if horizon is None:
+            hs, st_acc = _hit(
+                o[perm], dirv[perm], b[perm], st_acc, [("bounce", 0, n)]
+            )
+            inv = _inv_permutation(perm)
+            return (
+                Hit(t=hs.t[inv], index=hs.index[inv], hit=hs.hit[inv]),
+                st_acc,
+            )
+        # horizon split (see the _HORIZON_FRAC comment): pass 1 caps every
+        # ray's bound at h — a hit found under a t_max cap IS the true
+        # closest (the cap only culls blocks that could not beat it)
+        b1 = jnp.where(alive, horizon, 0.0)
+        hs1, st_acc = _hit(
+            o[perm], dirv[perm], b1[perm], st_acc, [("bounce", 0, n)]
         )
         inv = _inv_permutation(perm)
+        h1 = Hit(t=hs1.t[inv], index=hs1.index[inv], hit=hs1.hit[inv])
+        unresolved = alive & ~h1.hit
+        # pass 2: unresolved rays partition to the front (sorted by the
+        # same spatial key among themselves); everyone else parks dead, so
+        # nearly all pass-2 tiles cull outright
+        key2 = jnp.where(unresolved, key, np.uint32(0xFFFFFFFF))
+        perm2 = jnp.argsort(key2)
+        u = unresolved[perm2]
+        hs2, st_acc = _hit(
+            jnp.where(u[:, None], pos[perm2], _DEAD_ORIGIN),
+            dirv[perm2],
+            jnp.where(u, jnp.inf, 0.0),
+            st_acc,
+            [("bounce", 0, n)],
+        )
+        inv2 = _inv_permutation(perm2)
+        h2 = Hit(t=hs2.t[inv2], index=hs2.index[inv2], hit=hs2.hit[inv2])
         return (
-            Hit(t=hs.t[inv], index=hs.index[inv], hit=hs.hit[inv]),
+            Hit(
+                t=jnp.where(unresolved, h2.t, h1.t),
+                index=jnp.where(unresolved, h2.index, h1.index),
+                hit=jnp.where(unresolved, h2.hit, h1.hit),
+            ),
             st_acc,
         )
 

@@ -210,3 +210,44 @@ def test_dedup_select_matches_map_oracle(rng):
             tuple(int(v) for v in idx[r, : k + 1]) for r, k in expected
         ]
         assert got_keys == exp_keys
+
+
+def test_horizon_split_matches_default(large_square_scene, rng, monkeypatch):
+    """RAYVERB_HORIZON two-pass bounce sweeps are bit-identical to the
+    single-sweep default: a hit found under a t_max cap is the true
+    closest, and unresolved rays re-sweep unbounded (trace.py
+    _HORIZON_FRAC)."""
+    from rayverb_tpu.ops import trace as trace_mod
+    from rayverb_tpu.ops.intersect import soup_from_scene
+    from rayverb_tpu.ops.render import _collect_row, _row_buffers
+    from rayverb_tpu.utils.directions import random_directions
+
+    soup = soup_from_scene(large_square_scene)
+    n, refl = 512, 6
+    dirs = random_directions(n, seed=3)
+    mic = np.float32([0, 2, 0])
+    source = np.float32([0, 2, 2])
+
+    def run(frac):
+        monkeypatch.setattr(trace_mod, "_HORIZON_FRAC", frac)
+        aux, images, _ovf = trace_mod._trace_impl(
+            soup,
+            mic,
+            source,
+            dirs,
+            nreflections=refl,
+            impl="xla",
+            consume_row=_collect_row,
+            aux0=_row_buffers(refl, n),
+            nvalid=np.int32(n),
+            resort=True,
+        )
+        return aux, images
+
+    aux0, img0 = run(0.0)
+    # 0.05 x diag forces a large unresolved population through pass 2
+    aux1, img1 = run(0.05)
+    for a, b in zip(aux0[:3], aux1[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(img0, img1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
