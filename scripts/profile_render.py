@@ -106,6 +106,51 @@ def parse_trace(tdir):
     }
 
 
+def parse_host_device_alignment(tdir):
+    """Host/device timeline alignment from the trace.json export — the
+    analysis that root-caused the r4 vault regression (device idle for
+    21 s while host-side numpy built filter params). Reports the two
+    planes' spans, when the device first ran relative to the host span,
+    and the top host-side Python events."""
+    import gzip
+
+    files = glob.glob(
+        os.path.join(tdir, "**", "*.trace.json.gz"), recursive=True
+    )
+    if not files:
+        return None
+    files.sort(key=os.path.getmtime)
+    with gzip.open(files[-1]) as f:
+        d = json.load(f)
+    names = {}
+    for e in d.get("traceEvents", []):
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            names[e["pid"]] = e["args"].get("name", "")
+    host, dev = [], []
+    for e in d.get("traceEvents", []):
+        if e.get("ph") != "X":
+            continue
+        n = names.get(e["pid"], "")
+        (dev if "device" in n.lower() else host).append(e)
+    if not host or not dev:
+        return None
+    h0 = min(e["ts"] for e in host)
+    h1 = max(e["ts"] + e.get("dur", 0) for e in host)
+    d0 = min(e["ts"] for e in dev)
+    d1 = max(e["ts"] + e.get("dur", 0) for e in dev)
+    agg = collections.Counter()
+    for e in host:
+        agg[e["name"][:60]] += e.get("dur", 0) / 1e6
+    return {
+        "host_span_s": round((h1 - h0) / 1e6, 3),
+        "device_span_s": round((d1 - d0) / 1e6, 3),
+        "device_rel_start_s": round((d0 - h0) / 1e6, 3),
+        "top_host_events_s": {
+            k: round(v, 3) for k, v in agg.most_common(8)
+        },
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=1000000)
@@ -157,6 +202,7 @@ def main():
         "timings": {k: round(v, 3) for k, v in info["timings"].items()},
         "trace_dir": tdir,
         "profile": parsed,
+        "alignment": parse_host_device_alignment(tdir),
     }
     print(json.dumps(out))
     if not args.keep and args.outdir is None:
