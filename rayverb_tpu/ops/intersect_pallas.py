@@ -111,6 +111,11 @@ _OG = ORDER_GROUP_RAYS // RAY_BLOCK
 # in docs/perf.md: (128, 32) 17.1 s / (256, 16) 18.9 s / (64, 64) 18.9 s).
 TRI_SUBS = int(_os.environ.get("RAYVERB_TRI_SUBS", "32"))
 
+# Minimum grid steps per sweep: caps the per-sweep effective TRI_SUBS at
+# blocks/MIN_SWEEP_STEPS so small scenes keep a near-to-far traversal
+# instead of collapsing into one brute-force step (see closest_hit_pallas).
+MIN_SWEEP_STEPS = int(_os.environ.get("RAYVERB_MIN_STEPS", "4"))
+
 # Lanes per Woop-evaluation gate: inside a surviving sub-block, the
 # per-pair work can additionally run per LANE_GATE-lane chunk, each chunk
 # skipped outright unless one of ITS rays could improve — decoupling CULL
@@ -547,9 +552,15 @@ def closest_hit_pallas(
 
     m = origins.shape[0]
     tris, aabbs = _block_padded(soup)
-    # sub-blocks per grid step clamp to the scene's (pow2) block count, so
-    # scenes smaller than TRI_SUBS blocks run a 1-step sweep unchanged
-    subs = min(TRI_SUBS, aabbs.shape[0])
+    # sub-blocks per grid step clamp so every sweep gets at least
+    # MIN_SWEEP_STEPS near-to-far grid steps: on small scenes (e.g. the
+    # 32-block vault) TRI_SUBS used to swallow the whole scene into one
+    # step, turning the sweep brute-force — 4 steps re-engage the
+    # traversal order + best-t cull (vault 50k x 128: trace_bin
+    # 2.19 -> 2.09 s measured; large scenes are unchanged since
+    # blocks/4 >= TRI_SUBS there). Block counts are powers of two
+    # (build_sweep_table), so the clamp always divides evenly.
+    subs = min(TRI_SUBS, max(aabbs.shape[0] // MIN_SWEEP_STEPS, 1))
     nsteps = aabbs.shape[0] // subs
     og_rays = _order_group_rays(m, nsteps)
     # pad to the order-group width so the (steps, groups) order table
