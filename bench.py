@@ -23,10 +23,69 @@ the reference's implied 0.64 M ray-bounces/s.
 import json
 import os
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_RAY_BOUNCES_PER_S = 0.64e6  # BASELINE.md implied throughput
+
+# Results land here as they are measured so the deadline watchdog can
+# emit whatever was completed if the tunneled backend wedges mid-run
+# (observed: device roundtrips that normally take ~30 ms blocking for
+# minutes — docs/perf.md measurement-hygiene note). A wedged backend
+# hangs inside a device wait, which no exception handler can see; the
+# watchdog is the only way to leave a machine-readable artifact behind.
+_partial = {}
+_emitted = threading.Event()
+_last_progress = [time.monotonic()]
+
+
+def _progress(**results):
+    _partial.update(results)
+    _last_progress[0] = time.monotonic()
+
+
+def _emit(payload):
+    if _emitted.is_set():
+        return
+    _emitted.set()
+    print(json.dumps(payload), flush=True)
+
+
+def _watchdog_fire(stall_s):
+    payload = {
+        "metric": (
+            "ray-bounces/sec/chip (INCOMPLETE: backend wedged — no bench "
+            f"progress for {stall_s:.0f}s; partial results only — see "
+            "health_matmul_tflops; healthy chip+tunnel sustains ~150)"
+        ),
+        "value": _partial.get("value", 0.0),
+        "unit": "ray-bounces/s",
+        "vs_baseline": _partial.get("vs_baseline", 0.0),
+        "backend_wedged": True,
+    }
+    payload.update({k: v for k, v in _partial.items() if k not in payload})
+    _emit(payload)
+    os._exit(0)
+
+
+def _watchdog_loop(stall_s):
+    # A stall detector, not an absolute deadline: cold-cache runs spend
+    # many minutes per program in XLA compilation, but each completed
+    # workload calls _progress(); only a wedged backend produces a gap
+    # longer than stall_s between completions.
+    while True:
+        time.sleep(10.0)
+        if time.monotonic() - _last_progress[0] > stall_s:
+            _watchdog_fire(stall_s)
+
+
+def _start_watchdog():
+    stall_s = float(os.environ.get("RAYVERB_BENCH_DEADLINE", "1500"))
+    if stall_s <= 0:
+        return
+    t = threading.Thread(target=_watchdog_loop, args=(stall_s,), daemon=True)
+    t.start()
 
 NORTH_STAR_RAYS = 1_000_000
 NORTH_STAR_REFLECTIONS = 16
@@ -172,10 +231,12 @@ def main():
     from rayverb_tpu import load_config, load_scene
     from rayverb_tpu.runtime import retry_reexec_fail
 
+    _start_watchdog()
     try:
         # --- chip/tunnel health control (must come first: if this is low,
         # every wall below is suspect — see docs/perf.md hygiene note) ---
         health_tflops = _chip_health()
+        _progress(health_matmul_tflops=round(health_tflops, 1))
 
         # --- continuity workload: the reference's headline vault render,
         # both binning modes (sorted = default; scatter = r3 semantics
@@ -188,9 +249,14 @@ def main():
         vault_bounces, vault_wall, _ = run(
             vault_cfg, vault_scene, ray_chunk=4096, bin_mode="sorted"
         )
+        _progress(
+            vault_wall_s=round(vault_wall, 3),
+            vault_ray_bounces_per_s=round(vault_bounces / vault_wall, 1),
+        )
         _, vault_wall_scatter, _ = run(
             vault_cfg, vault_scene, ray_chunk=4096, bin_mode="scatter"
         )
+        _progress(vault_wall_s_scatter=round(vault_wall_scatter, 3))
 
         # --- north-star workload: 1M rays x 16 bounces, 100k-tri hall ---
         ns_cfg = _north_star_config()
@@ -200,6 +266,13 @@ def main():
             ns_scene,
             ray_chunk=int(os.environ.get("RAYVERB_BENCH_CHUNK", 262144)),
             stats=True,
+        )
+        _progress(
+            north_star_wall_s=round(ns_wall, 3),
+            value=round(ns_bounces / ns_wall, 1),
+            vs_baseline=round(
+                ns_bounces / ns_wall / BASELINE_RAY_BOUNCES_PER_S, 2
+            ),
         )
 
         # --- issued vs executed (post-cull) pair tests: single-pass probe
@@ -223,8 +296,7 @@ def main():
 
     value = ns_bounces / ns_wall
     vault_value = vault_bounces / vault_wall
-    print(
-        json.dumps(
+    _emit(
             {
                 "metric": (
                     "ray-bounces/sec/chip (north star: 1M rays x 16 refl, "
@@ -270,7 +342,6 @@ def main():
                 # vault (64 pairs x 4096 rays x 16 refl, stereo HRTF)
                 "datagen_pairs_per_s": round(datagen_pairs_per_s, 2),
             }
-        )
     )
 
 
